@@ -1,0 +1,46 @@
+"""Run configuration mirroring the reference `dagcon` CLI semantics.
+
+Reference flags (reconstructed from `src/cpp/main.cpp`, SURVEY.md §2 C6):
+`-c` min coverage/weight (default 8), `-m` min consensus length (default
+500), `-j` worker threads (default 4), `-t` end-trim (default 0). Names and
+defaults are preserved so behaviour is comparable; TPU-specific knobs are
+additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DagconConfig:
+    # Reference-equivalent knobs (dagcon -c / -m / -j / -t).
+    min_weight: int = 8
+    min_length: int = 500
+    threads: int = 4
+    trim: int = 0
+
+    # Input format: "m5" (blasr -m 5) or "pre" (HGAP m4topre records).
+    fmt: str = "m5"
+
+    # --- TPU execution knobs ---
+    # Bucket ladders for padded shapes (nodes V, successor window W).
+    v_buckets: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
+    w_buckets: tuple[int, ...] = (16, 32, 64, 128)
+    # Max targets per device batch (per V-bucket batches are formed up to
+    # this size before dispatch).
+    batch_targets: int = 128
+    # Execution backend for the consensus DP: "xla", "pallas", "host",
+    # or "auto" (pallas on TPU, xla elsewhere, host fallback for
+    # out-of-bucket targets always).
+    backend: str = "auto"
+    # Use the native C++ loader/graph engine when available.
+    use_native: bool = True
+
+    def __post_init__(self) -> None:
+        if self.fmt not in ("m5", "pre"):
+            raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")
+        if self.backend not in ("auto", "xla", "pallas", "host"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.min_weight < 0 or self.min_length < 0 or self.trim < 0:
+            raise ValueError("min_weight/min_length/trim must be >= 0")
