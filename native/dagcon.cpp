@@ -1,0 +1,880 @@
+// tpu-dagcon native engine: streaming parser, gap normalizer, alignment
+// graph (build + merge), linearizer, float32 best-path DP, consensus
+// emission, and a pthread-style worker pool — the C++ runtime around the
+// TPU compute path.
+//
+// This is a from-scratch implementation of SPEC.md §1–§3 (normative; the
+// reference mount was empty — reconstructed behavior of upstream
+// pbdagcon's src/cpp/Alignment.cpp and src/cpp/AlnGraphBoost.cpp, see
+// SURVEY.md §2 C1–C6). It must agree bit-for-bit with the Python oracle
+// (pbdagcon_tpu/oracle/graph.py); tests/test_native.py enforces this
+// differentially. All path arithmetic is strict IEEE float32 — do NOT
+// compile with -ffast-math.
+//
+// C ABI at the bottom; Python binds via ctypes (pbdagcon_tpu/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <queue>
+#include <string>
+#include <thread>
+#include <tuple>
+#include <vector>
+
+namespace dagcon {
+
+static const float kPenalty = -10.0f;
+static const float kNegMax = -3.4028234663852886e38f;  // -FLT_MAX
+static const float kNegInf = -__builtin_inff();
+
+// ---------------------------------------------------------------- records
+
+struct Alignment {
+  std::string id, sid;
+  int32_t tlen = 0;
+  int32_t start = 1;  // 1-based on forward target
+  int32_t end = 0;
+  std::string qstr, tstr;
+
+  void recompute_end() {
+    int32_t t = 0;
+    for (char c : tstr)
+      if (c != '-') ++t;
+    end = start - 1 + t;
+  }
+  bool empty() const { return qstr.empty(); }
+};
+
+static inline char comp(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    case 'a': return 't';
+    case 'c': return 'g';
+    case 'g': return 'c';
+    case 't': return 'a';
+    default: return c;  // N, '-', anything else maps to itself
+  }
+}
+
+static void revcomp_inplace(std::string& s) {
+  std::reverse(s.begin(), s.end());
+  for (char& c : s) c = comp(c);
+}
+
+// Split one whitespace-separated line into fields (no allocation churn).
+static void split_ws(const char* p, const char* end,
+                     std::vector<std::pair<const char*, size_t>>& out) {
+  out.clear();
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    const char* s = p;
+    while (p < end && *p != ' ' && *p != '\t' && *p != '\r') ++p;
+    if (p > s) out.emplace_back(s, (size_t)(p - s));
+  }
+}
+
+static int64_t to_i64(const char* s, size_t n) {
+  int64_t v = 0;
+  bool neg = false;
+  size_t i = 0;
+  if (n && (s[0] == '-' || s[0] == '+')) {
+    neg = s[0] == '-';
+    i = 1;
+  }
+  for (; i < n; ++i) v = v * 10 + (s[i] - '0');
+  return neg ? -v : v;
+}
+
+// Parse one M5 record: 19 whitespace fields (SPEC §1.1). Returns false on
+// malformed input.
+static bool parse_m5(const char* line, const char* end, Alignment& a) {
+  std::vector<std::pair<const char*, size_t>> f;
+  split_ws(line, end, f);
+  if (f.size() != 19) return false;
+  a.id.assign(f[0].first, f[0].second);
+  a.sid.assign(f[5].first, f[5].second);
+  a.tlen = (int32_t)to_i64(f[6].first, f[6].second);
+  int64_t tstart = to_i64(f[7].first, f[7].second);
+  int64_t tend = to_i64(f[8].first, f[8].second);
+  bool flip = !(f[4].second == f[9].second &&
+                memcmp(f[4].first, f[9].first, f[4].second) == 0);
+  a.qstr.assign(f[16].first, f[16].second);
+  a.tstr.assign(f[18].first, f[18].second);
+  if (a.qstr.size() != a.tstr.size()) return false;
+  if (flip) {
+    revcomp_inplace(a.qstr);
+    revcomp_inplace(a.tstr);
+    a.start = (int32_t)(a.tlen - tend + 1);
+  } else {
+    a.start = (int32_t)(tstart + 1);
+  }
+  a.recompute_end();
+  return true;
+}
+
+// Parse one 'pre' record: 7 fields (SPEC §1.2).
+static bool parse_pre(const char* line, const char* end, Alignment& a) {
+  std::vector<std::pair<const char*, size_t>> f;
+  split_ws(line, end, f);
+  if (f.size() != 7) return false;
+  a.id.assign(f[0].first, f[0].second);
+  a.sid.assign(f[1].first, f[1].second);
+  a.start = (int32_t)to_i64(f[2].first, f[2].second);
+  a.end = (int32_t)to_i64(f[3].first, f[3].second);
+  a.tlen = (int32_t)to_i64(f[4].first, f[4].second);
+  a.qstr.assign(f[5].first, f[5].second);
+  a.tstr.assign(f[6].first, f[6].second);
+  return a.qstr.size() == a.tstr.size();
+}
+
+// -------------------------------------------------- normalization / trim
+
+// SPEC §1.3: mismatch expansion, right gap-pushing, double-gap removal.
+static void normalize_gaps(Alignment& a) {
+  const std::string& q = a.qstr;
+  const std::string& t = a.tstr;
+  std::string qn, tn;
+  qn.reserve(q.size() * 2);
+  tn.reserve(t.size() * 2);
+  for (size_t i = 0; i < q.size(); ++i) {
+    char qb = q[i], tb = t[i];
+    if (qb != tb && qb != '-' && tb != '-') {
+      qn.push_back('-');
+      qn.push_back(qb);
+      tn.push_back(tb);
+      tn.push_back('-');
+    } else {
+      qn.push_back(qb);
+      tn.push_back(tb);
+    }
+  }
+  size_t n = qn.size();
+  for (size_t i = 0; i + 1 < n; ++i) {
+    if (tn[i] == '-') {
+      for (size_t j = i + 1; j < n; ++j) {
+        char c = tn[j];
+        if (c != '-') {
+          if (c == qn[i]) {
+            tn[i] = c;
+            tn[j] = '-';
+          }
+          break;
+        }
+      }
+    }
+    if (qn[i] == '-') {
+      for (size_t j = i + 1; j < n; ++j) {
+        char c = qn[j];
+        if (c != '-') {
+          if (c == tn[i]) {
+            qn[i] = c;
+            qn[j] = '-';
+          }
+          break;
+        }
+      }
+    }
+  }
+  std::string oq, ot;
+  oq.reserve(n);
+  ot.reserve(n);
+  for (size_t i = 0; i < n; ++i) {
+    if (qn[i] != '-' || tn[i] != '-') {
+      oq.push_back(qn[i]);
+      ot.push_back(tn[i]);
+    }
+  }
+  a.qstr.swap(oq);
+  a.tstr.swap(ot);
+  a.recompute_end();
+}
+
+// SPEC §1.4: trim n aligned query bases off each end.
+static void trim_aln(Alignment& a, int32_t n) {
+  if (n <= 0) return;
+  const std::string& q = a.qstr;
+  const std::string& t = a.tstr;
+  size_t len = q.size();
+  size_t i = 0;
+  int32_t removed_q = 0, start_shift = 0;
+  while (i < len && removed_q < n) {
+    if (q[i] != '-') ++removed_q;
+    if (t[i] != '-') ++start_shift;
+    ++i;
+  }
+  size_t j = len;
+  removed_q = 0;
+  while (j > i && removed_q < n) {
+    --j;
+    if (q[j] != '-') ++removed_q;
+  }
+  a.start += start_shift;
+  a.qstr = q.substr(i, j - i);
+  a.tstr = t.substr(i, j - i);
+  a.recompute_end();
+}
+
+// ------------------------------------------------------------------ graph
+
+struct Edge {
+  int32_t to;
+  int32_t count;
+};
+struct REdge {
+  int32_t from;
+  int32_t count;
+};
+
+// Backbone-seeded POA DAG (SPEC §2). Creation-ordered adjacency vectors
+// mirror the oracle's insertion-ordered dicts — order is parity-critical.
+struct Graph {
+  int32_t L = 0, enter = 0, exit = 0;
+  std::vector<uint8_t> base;
+  std::vector<int32_t> weight, coverage, anchor;
+  std::vector<uint8_t> backbone_f, deleted;
+  std::vector<std::vector<Edge>> out_e;
+  std::vector<std::vector<REdge>> in_e;
+
+  void init(const std::string& bb) {
+    L = (int32_t)bb.size();
+    enter = 0;
+    exit = L + 1;
+    int32_t n = L + 2;
+    base.resize(n);
+    base[0] = '^';
+    for (int32_t p = 0; p < L; ++p) base[p + 1] = (uint8_t)bb[p];
+    base[L + 1] = '$';
+    weight.assign(n, 1);
+    weight[0] = weight[L + 1] = 0;
+    coverage.assign(n, 0);
+    backbone_f.assign(n, 1);
+    anchor.resize(n);
+    for (int32_t v = 0; v < n; ++v) anchor[v] = v;
+    deleted.assign(n, 0);
+    out_e.assign(n, {});
+    in_e.assign(n, {});
+    for (int32_t p = 0; p <= L; ++p) {
+      out_e[p].push_back({p + 1, 0});
+      in_e[p + 1].push_back({p, 0});
+    }
+  }
+
+  int32_t new_node(uint8_t b, int32_t anc) {
+    int32_t v = (int32_t)base.size();
+    base.push_back(b);
+    weight.push_back(1);
+    coverage.push_back(0);
+    backbone_f.push_back(0);
+    anchor.push_back(anc);
+    deleted.push_back(0);
+    out_e.emplace_back();
+    in_e.emplace_back();
+    return v;
+  }
+
+  void add_edge(int32_t u, int32_t v) {
+    for (Edge& e : out_e[u]) {
+      if (e.to == v) {
+        ++e.count;
+        for (REdge& r : in_e[v])
+          if (r.from == u) {
+            ++r.count;
+            break;
+          }
+        return;
+      }
+    }
+    out_e[u].push_back({v, 1});
+    in_e[v].push_back({u, 1});
+  }
+
+  // SPEC §2.4; alignment must be normalized.
+  bool add_aln(const Alignment& a) {
+    if (a.empty()) return true;
+    int32_t tpos = a.start - 1;
+    int32_t prev = enter;
+    for (size_t i = 0; i < a.qstr.size(); ++i) {
+      char qb = a.qstr[i], tb = a.tstr[i];
+      if (qb != '-' && tb != '-') {
+        ++tpos;
+        if (tpos > L) return false;
+        ++coverage[tpos];
+        ++weight[tpos];
+        add_edge(prev, tpos);
+        prev = tpos;
+      } else if (qb == '-') {
+        ++tpos;
+        if (tpos > L) return false;
+        ++coverage[tpos];
+      } else {
+        int32_t v = new_node((uint8_t)qb, tpos);
+        add_edge(prev, v);
+        prev = v;
+      }
+    }
+    add_edge(prev, exit);
+    return true;
+  }
+
+  // SPEC §2.5 node merging. Kahn BFS from enter; per node, group
+  // out-degree-1 in-neighbors by base (ascending), merge into the first,
+  // recurse on the survivor.
+  void merge_nodes() {
+    std::vector<int32_t> remaining(base.size(), 0);
+    for (size_t v = 0; v < base.size(); ++v)
+      if (!deleted[v]) remaining[v] = (int32_t)in_e[v].size();
+    std::deque<int32_t> q;
+    q.push_back(enter);
+    while (!q.empty()) {
+      int32_t u = q.front();
+      q.pop_front();
+      merge_in_nodes(u);
+      for (const Edge& e : out_e[u]) {
+        if (--remaining[e.to] == 0) q.push_back(e.to);
+      }
+    }
+  }
+
+  void merge_in_nodes(int32_t n) {
+    // Groups precomputed from in_e[n] snapshot, keyed ascending base.
+    std::map<uint8_t, std::vector<int32_t>> groups;
+    for (const REdge& r : in_e[n]) {
+      if (out_e[r.from].size() == 1) groups[base[r.from]].push_back(r.from);
+    }
+    for (auto& kv : groups) {
+      std::vector<int32_t>& nodes = kv.second;
+      if (nodes.size() < 2) continue;
+      int32_t a = nodes[0];
+      for (size_t xi = 1; xi < nodes.size(); ++xi) {
+        int32_t x = nodes[xi];
+        weight[a] += weight[x];
+        // cx = count of x->n (key lookup, parity with the oracle).
+        int32_t cx = 0;
+        for (const Edge& e : out_e[x])
+          if (e.to == n) {
+            cx = e.count;
+            break;
+          }
+        for (Edge& e : out_e[a])
+          if (e.to == n) {
+            e.count += cx;
+            break;
+          }
+        for (REdge& r : in_e[n])
+          if (r.from == a) {
+            r.count += cx;
+            break;
+          }
+        // Move x's in-edges to a (creation order).
+        for (const REdge& rx : in_e[x]) {
+          int32_t s = rx.from, c = rx.count;
+          bool found = false;
+          for (Edge& e : out_e[s])
+            if (e.to == a) {
+              e.count += c;
+              found = true;
+              break;
+            }
+          if (found) {
+            for (REdge& r : in_e[a])
+              if (r.from == s) {
+                r.count += c;
+                break;
+              }
+          } else {
+            out_e[s].push_back({a, c});
+            in_e[a].push_back({s, c});
+          }
+          // Remove s->x from out_e[s], preserving order.
+          for (size_t k = 0; k < out_e[s].size(); ++k)
+            if (out_e[s][k].to == x) {
+              out_e[s].erase(out_e[s].begin() + k);
+              break;
+            }
+        }
+        // Disconnect & delete x.
+        out_e[x].clear();
+        for (size_t k = 0; k < in_e[n].size(); ++k)
+          if (in_e[n][k].from == x) {
+            in_e[n].erase(in_e[n].begin() + k);
+            break;
+          }
+        in_e[x].clear();
+        deleted[x] = 1;
+      }
+      merge_in_nodes(a);
+    }
+  }
+};
+
+// ------------------------------------------------------------- linearize
+
+// Banded linearization (SPEC §3.1) in CSR form.
+struct Linear {
+  std::string sid;
+  int32_t backbone_len = 0;
+  int32_t n = 0;
+  int32_t span = 0;
+  std::vector<uint8_t> base;
+  std::vector<int32_t> weight, bb, cov;
+  std::vector<uint8_t> unsup;
+  std::vector<int32_t> exit_count;  // -1 = none
+  // Creation-order CSR out-edges; target == n means virtual exit.
+  std::vector<int32_t> edge_off;  // [n+1]
+  std::vector<int32_t> edge_tgt, edge_cnt;
+  std::vector<int32_t> enter_tgt, enter_cnt;  // enter's out-edges
+};
+
+// Kahn topological order with min-heap keyed (anchor, is_insertion, id):
+// backbone ascending, each gap's merged insertion trie between its
+// flanking backbone nodes.
+static bool linearize(const Graph& g, const std::string& sid, Linear& lin) {
+  size_t n_all = g.base.size();
+  std::vector<int32_t> indeg(n_all, -1);
+  size_t alive = 0;
+  for (size_t v = 0; v < n_all; ++v) {
+    if (!g.deleted[v]) {
+      indeg[v] = (int32_t)g.in_e[v].size();
+      ++alive;
+    }
+  }
+  typedef std::tuple<int32_t, int32_t, int32_t> Key;  // anchor, ins, id
+  std::priority_queue<Key, std::vector<Key>, std::greater<Key>> heap;
+  heap.push(Key(g.anchor[g.enter], 0, g.enter));
+  std::vector<int32_t> order;
+  order.reserve(alive);
+  while (!heap.empty()) {
+    int32_t u = std::get<2>(heap.top());
+    heap.pop();
+    order.push_back(u);
+    for (const Edge& e : g.out_e[u]) {
+      if (--indeg[e.to] == 0)
+        heap.push(Key(g.anchor[e.to], g.backbone_f[e.to] ? 0 : 1, e.to));
+    }
+  }
+  if (order.size() != alive) return false;
+
+  std::vector<int32_t> lin_of(n_all, -1);
+  int32_t n = 0;
+  for (int32_t v : order)
+    if (v != g.enter && v != g.exit) lin_of[v] = n++;
+
+  lin.sid = sid;
+  lin.backbone_len = g.L;
+  lin.n = n;
+  lin.span = 0;
+  lin.base.resize(n);
+  lin.weight.resize(n);
+  lin.bb.resize(n);
+  lin.cov.resize(n);
+  lin.unsup.resize(n);
+  lin.exit_count.assign(n, -1);
+  lin.edge_off.assign(n + 1, 0);
+  lin.edge_tgt.clear();
+  lin.edge_cnt.clear();
+  lin.enter_tgt.clear();
+  lin.enter_cnt.clear();
+
+  int32_t i = 0;
+  for (int32_t v : order) {
+    if (v == g.enter || v == g.exit) continue;
+    lin.base[i] = g.base[v];
+    lin.weight[i] = g.weight[v];
+    lin.bb[i] = g.backbone_f[v] ? v : 0;
+    lin.cov[i] = g.coverage[g.anchor[v]];
+    lin.unsup[i] = (g.backbone_f[v] && g.weight[v] == 1) ? 1 : 0;
+    for (const Edge& e : g.out_e[v]) {
+      if (e.to == g.exit) {
+        lin.exit_count[i] = e.count;
+        lin.edge_tgt.push_back(n);
+        lin.edge_cnt.push_back(e.count);
+      } else {
+        int32_t j = lin_of[e.to];
+        if (j <= i) return false;  // non-forward edge: internal error
+        if (j - i > lin.span) lin.span = j - i;
+        lin.edge_tgt.push_back(j);
+        lin.edge_cnt.push_back(e.count);
+      }
+    }
+    lin.edge_off[i + 1] = (int32_t)lin.edge_tgt.size();
+    ++i;
+  }
+  for (const Edge& e : g.out_e[g.enter]) {
+    if (e.to == g.exit) continue;
+    lin.enter_tgt.push_back(lin_of[e.to]);
+    lin.enter_cnt.push_back(e.count);
+  }
+  return true;
+}
+
+// ------------------------------------------------- DP / backtrack / emit
+
+static inline float escore(const Linear& lin, int32_t w, int32_t count) {
+  if (w == lin.n) return (float)count;  // exit: weight 0, coverage 0
+  if (lin.unsup[w]) return kPenalty;
+  return (float)count - 0.5f * (float)lin.cov[w];
+}
+
+// Reference-exact float32 DP over the CSR arrays (SPEC §2.6).
+static void host_scores(const Linear& lin, std::vector<float>& score) {
+  score.assign(lin.n + 1, kNegMax);
+  score[lin.n] = 0.0f;
+  for (int32_t u = lin.n - 1; u >= 0; --u) {
+    float best = kNegMax;
+    for (int32_t e = lin.edge_off[u]; e < lin.edge_off[u + 1]; ++e) {
+      float cand = escore(lin, lin.edge_tgt[e], lin.edge_cnt[e]) +
+                   score[lin.edge_tgt[e]];
+      if (cand > best) best = cand;
+    }
+    score[u] = best;
+  }
+}
+
+// Creation-order first-strict-max walk from enter (SPEC §2.6 tie-break).
+// `score` has n+1 entries (virtual exit last, = 0).
+static void backtrack(const Linear& lin, const float* score,
+                      std::vector<int32_t>& path) {
+  path.clear();
+  float best = kNegMax;
+  int32_t u = -1;
+  for (size_t k = 0; k < lin.enter_tgt.size(); ++k) {
+    int32_t w = lin.enter_tgt[k];
+    float cand = escore(lin, w, lin.enter_cnt[k]) + score[w];
+    if (cand > best) {
+      best = cand;
+      u = w;
+    }
+  }
+  while (u >= 0 && u != lin.n) {
+    path.push_back(u);
+    best = kNegMax;
+    int32_t nxt = -1;
+    for (int32_t e = lin.edge_off[u]; e < lin.edge_off[u + 1]; ++e) {
+      int32_t w = lin.edge_tgt[e];
+      float cand = escore(lin, w, lin.edge_cnt[e]) + score[w];
+      if (cand > best) {
+        best = cand;
+        nxt = w;
+      }
+    }
+    u = nxt;
+  }
+}
+
+// Fragment emission (SPEC §2.7) as FASTA text appended to `out`.
+static void emit_consensus(const Linear& lin, const std::vector<int32_t>& path,
+                           int32_t min_weight, int32_t min_length,
+                           std::string& out) {
+  int32_t bb_pos = 0, kept_end = 0, range_start = 0;
+  std::string frag;
+  auto close = [&]() {
+    if ((int32_t)frag.size() >= min_length && !frag.empty()) {
+      char hdr[64];
+      out += ">";
+      out += lin.sid;
+      snprintf(hdr, sizeof hdr, "/%d_%d\n", range_start, kept_end);
+      out += hdr;
+      out += frag;
+      out += "\n";
+    }
+    frag.clear();
+  };
+  for (int32_t v : path) {
+    bool is_bb = lin.bb[v] != 0;
+    if (is_bb) bb_pos = lin.bb[v];
+    if (lin.weight[v] >= min_weight) {
+      if (frag.empty()) range_start = is_bb ? bb_pos - 1 : bb_pos;
+      frag.push_back((char)lin.base[v]);
+      kept_end = bb_pos;
+    } else {
+      close();
+    }
+  }
+  close();
+}
+
+// ------------------------------------------------------------ engine
+
+struct Group {
+  std::string sid;
+  std::vector<Alignment> alns;
+};
+
+// Recover the backbone by painting records into an N-filled buffer
+// (SPEC note in alignment.py:backbone_from_group; SURVEY.md §3.1).
+static std::string backbone_of(const Group& g) {
+  if (g.alns.empty()) return "";
+  int32_t tlen = g.alns[0].tlen;
+  std::string bb(tlen, 'N');
+  for (const Alignment& a : g.alns) {
+    int32_t p = a.start - 1;
+    for (char c : a.tstr) {
+      if (c != '-') {
+        if (p >= tlen) return "";  // malformed; caller drops group
+        bb[p] = c;
+        ++p;
+      }
+    }
+  }
+  return bb;
+}
+
+struct Engine {
+  int32_t min_weight = 8, min_length = 500, trim = 0, threads = 4;
+  std::string pending_line;           // partial trailing line
+  Group pending_group;                // trailing (possibly incomplete) group
+  std::vector<Group> ready;           // complete groups awaiting processing
+  std::vector<Linear> linears;        // results of linearize_text
+  std::string error;
+
+  void feed(const char* text, size_t len, int fmt, bool flush) {
+    std::string buf;
+    if (!pending_line.empty()) {
+      buf.swap(pending_line);
+      buf.append(text, len);
+      text = buf.data();
+      len = buf.size();
+    }
+    const char* p = text;
+    const char* end = text + len;
+    while (p < end) {
+      const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+      if (!nl) {
+        if (!flush) {
+          pending_line.assign(p, (size_t)(end - p));
+          p = end;
+          break;
+        }
+        nl = end;
+      }
+      if (nl > p) {
+        Alignment a;
+        bool ok = fmt == 0 ? parse_m5(p, nl, a) : parse_pre(p, nl, a);
+        if (ok) {
+          if (!pending_group.alns.empty() && a.sid != pending_group.sid) {
+            ready.push_back(std::move(pending_group));
+            pending_group = Group();
+          }
+          if (pending_group.alns.empty()) pending_group.sid = a.sid;
+          pending_group.alns.push_back(std::move(a));
+        } else if (nl > p + 1 || *p != '\r') {
+          error = "malformed record";
+        }
+      }
+      p = nl < end ? nl + 1 : end;
+    }
+    if (flush && !pending_group.alns.empty()) {
+      ready.push_back(std::move(pending_group));
+      pending_group = Group();
+    }
+  }
+
+  // Build + merge + linearize one group.
+  bool build_one(const Group& grp, Linear& lin) {
+    std::string bb = backbone_of(grp);
+    if (bb.empty()) return false;
+    Graph g;
+    g.init(bb);
+    for (Alignment a : grp.alns) {
+      if (trim > 0) trim_aln(a, trim);
+      normalize_gaps(a);
+      if (!a.empty()) {
+        if (!g.add_aln(a)) return false;
+      }
+    }
+    g.merge_nodes();
+    return linearize(g, grp.sid, lin);
+  }
+
+  // Parallel map over ready groups with `fn(group_idx)`.
+  template <typename F>
+  void parallel_groups(size_t count, F fn) {
+    int nthreads = std::max(1, std::min<int>(threads, (int)count));
+    if (nthreads <= 1) {
+      for (size_t i = 0; i < count; ++i) fn(i);
+      return;
+    }
+    std::atomic<size_t> next(0);
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&]() {
+        for (;;) {
+          size_t i = next.fetch_add(1);
+          if (i >= count) return;
+          fn(i);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // Host mode: consensus for all ready groups; FASTA in input order.
+  void consensus_all(std::string& out) {
+    size_t count = ready.size();
+    std::vector<std::string> results(count);
+    parallel_groups(count, [&](size_t i) {
+      Linear lin;
+      if (!build_one(ready[i], lin)) return;
+      std::vector<float> score;
+      host_scores(lin, score);
+      std::vector<int32_t> path;
+      backtrack(lin, score.data(), path);
+      emit_consensus(lin, path, min_weight, min_length, results[i]);
+    });
+    for (const std::string& r : results) out += r;
+    ready.clear();
+  }
+
+  // TPU-loader mode: linearize all ready groups, keep arrays for export.
+  void linearize_all() {
+    size_t count = ready.size();
+    linears.assign(count, Linear());
+    std::vector<uint8_t> ok(count, 0);
+    parallel_groups(count, [&](size_t i) {
+      ok[i] = build_one(ready[i], linears[i]) ? 1 : 0;
+    });
+    // Drop failed groups (rare/malformed), preserving order.
+    size_t w = 0;
+    for (size_t i = 0; i < count; ++i) {
+      if (ok[i]) {
+        if (w != i) linears[w] = std::move(linears[i]);
+        ++w;
+      }
+    }
+    linears.resize(w);
+    ready.clear();
+  }
+};
+
+}  // namespace dagcon
+
+// ---------------------------------------------------------------- C ABI
+
+extern "C" {
+
+using dagcon::Engine;
+using dagcon::Linear;
+
+void* dagcon_engine_new(int min_weight, int min_length, int trim,
+                        int threads) {
+  Engine* e = new Engine();
+  e->min_weight = min_weight;
+  e->min_length = min_length;
+  e->trim = trim;
+  e->threads = threads;
+  return e;
+}
+
+void dagcon_engine_free(void* h) { delete (Engine*)h; }
+
+// Host mode: feed target-sorted text (fmt 0=m5, 1=pre); returns FASTA for
+// complete groups via out/out_len (caller frees with dagcon_free).
+int dagcon_consensus_text(void* h, const char* text, long len, int fmt,
+                          int flush, char** out, long* out_len) {
+  Engine* e = (Engine*)h;
+  e->feed(text, (size_t)len, fmt, flush != 0);
+  std::string fasta;
+  e->consensus_all(fasta);
+  char* buf = (char*)malloc(fasta.size() + 1);
+  memcpy(buf, fasta.data(), fasta.size());
+  buf[fasta.size()] = 0;
+  *out = buf;
+  *out_len = (long)fasta.size();
+  return e->error.empty() ? 0 : 1;
+}
+
+void dagcon_free(char* p) { free(p); }
+
+// TPU-loader mode: parse + build + merge + linearize complete groups.
+// Returns number of targets now exported (until the next call).
+int dagcon_linearize_text(void* h, const char* text, long len, int fmt,
+                          int flush) {
+  Engine* e = (Engine*)h;
+  e->feed(text, (size_t)len, fmt, flush != 0);
+  e->linearize_all();
+  return (int)e->linears.size();
+}
+
+// meta[0]=n, meta[1]=span, meta[2]=n_edges, meta[3]=n_enter,
+// meta[4]=backbone_len. Returns sid length (or -1 on bad idx).
+int dagcon_target_meta(void* h, int idx, int* meta, char* sid_buf,
+                       int sid_cap) {
+  Engine* e = (Engine*)h;
+  if (idx < 0 || idx >= (int)e->linears.size()) return -1;
+  const Linear& l = e->linears[idx];
+  meta[0] = l.n;
+  meta[1] = l.span;
+  meta[2] = (int)l.edge_tgt.size();
+  meta[3] = (int)l.enter_tgt.size();
+  meta[4] = l.backbone_len;
+  int sl = (int)l.sid.size();
+  if (sid_buf && sid_cap > 0) {
+    int c = std::min(sl, sid_cap - 1);
+    memcpy(sid_buf, l.sid.data(), (size_t)c);
+    sid_buf[c] = 0;
+  }
+  return sl;
+}
+
+// Fill caller-allocated arrays sized from dagcon_target_meta.
+int dagcon_target_arrays(void* h, int idx, uint8_t* base, int32_t* weight,
+                         int32_t* bb, int32_t* cov, uint8_t* unsup,
+                         int32_t* exit_count, int32_t* edge_off,
+                         int32_t* edge_tgt, int32_t* edge_cnt,
+                         int32_t* enter_tgt, int32_t* enter_cnt) {
+  Engine* e = (Engine*)h;
+  if (idx < 0 || idx >= (int)e->linears.size()) return -1;
+  const Linear& l = e->linears[idx];
+  memcpy(base, l.base.data(), l.base.size());
+  memcpy(weight, l.weight.data(), l.weight.size() * 4);
+  memcpy(bb, l.bb.data(), l.bb.size() * 4);
+  memcpy(cov, l.cov.data(), l.cov.size() * 4);
+  memcpy(unsup, l.unsup.data(), l.unsup.size());
+  memcpy(exit_count, l.exit_count.data(), l.exit_count.size() * 4);
+  memcpy(edge_off, l.edge_off.data(), l.edge_off.size() * 4);
+  memcpy(edge_tgt, l.edge_tgt.data(), l.edge_tgt.size() * 4);
+  memcpy(edge_cnt, l.edge_cnt.data(), l.edge_cnt.size() * 4);
+  memcpy(enter_tgt, l.enter_tgt.data(), l.enter_tgt.size() * 4);
+  memcpy(enter_cnt, l.enter_cnt.data(), l.enter_cnt.size() * 4);
+  return 0;
+}
+
+// Exact backtrack + emission for target idx given scores[n+1] (virtual
+// exit score last; device- or host-computed). FASTA via out/out_len.
+int dagcon_target_consensus(void* h, int idx, const float* scores,
+                            int min_weight, int min_length, char** out,
+                            long* out_len) {
+  Engine* e = (Engine*)h;
+  if (idx < 0 || idx >= (int)e->linears.size()) return -1;
+  const Linear& l = e->linears[idx];
+  std::vector<int32_t> path;
+  dagcon::backtrack(l, scores, path);
+  std::string fasta;
+  dagcon::emit_consensus(l, path, min_weight, min_length, fasta);
+  char* buf = (char*)malloc(fasta.size() + 1);
+  memcpy(buf, fasta.data(), fasta.size());
+  buf[fasta.size()] = 0;
+  *out = buf;
+  *out_len = (long)fasta.size();
+  return 0;
+}
+
+// Host-side float32 DP for target idx: fills scores[n+1].
+int dagcon_target_scores(void* h, int idx, float* scores) {
+  Engine* e = (Engine*)h;
+  if (idx < 0 || idx >= (int)e->linears.size()) return -1;
+  std::vector<float> s;
+  dagcon::host_scores(e->linears[idx], s);
+  memcpy(scores, s.data(), s.size() * 4);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,100 @@
+"""`tpu-dagcon` CLI, mirroring the reference `dagcon` flags.
+
+Reference flags (reconstructed from `src/cpp/main.cpp`, SURVEY.md §2 C6;
+mount empty): positional M5 input (or stdin), `-c` min coverage (8),
+`-m` min length (500), `-j` threads (4), `-t` trim (0). Names and
+defaults preserved for behavioural comparison; TPU knobs are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from pbdagcon_tpu.config import DagconConfig
+from pbdagcon_tpu.io import FastaWriter, open_input
+from pbdagcon_tpu.pipeline import run_stream
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-dagcon",
+        description=(
+            "TPU-native DAG consensus with pbdagcon's capabilities: "
+            "M5/'pre' alignments in, consensus FASTA out."
+        ),
+    )
+    p.add_argument(
+        "input",
+        nargs="?",
+        default="-",
+        help="M5/'pre' alignment file, target-sorted ('-' = stdin)",
+    )
+    p.add_argument(
+        "-c",
+        "--min-coverage",
+        type=int,
+        default=8,
+        help="minimum coverage (node weight) to keep a consensus base",
+    )
+    p.add_argument(
+        "-m",
+        "--min-length",
+        type=int,
+        default=500,
+        help="minimum consensus fragment length to emit",
+    )
+    p.add_argument(
+        "-t", "--trim", type=int, default=0,
+        help="trim N aligned query bases off both alignment ends",
+    )
+    p.add_argument(
+        "-j", "--threads", type=int, default=4,
+        help="host worker threads (native graph build)",
+    )
+    p.add_argument(
+        "--fmt", choices=("m5", "pre"), default="m5", help="input format"
+    )
+    p.add_argument(
+        "--backend",
+        choices=("auto", "xla", "pallas", "host"),
+        default="auto",
+        help="consensus DP backend",
+    )
+    p.add_argument(
+        "--batch-targets", type=int, default=128,
+        help="max targets per device batch",
+    )
+    p.add_argument(
+        "--width", type=int, default=0,
+        help="FASTA line width (0 = unwrapped)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stderr,
+    )
+    cfg = DagconConfig(
+        min_weight=args.min_coverage,
+        min_length=args.min_length,
+        threads=args.threads,
+        trim=args.trim,
+        fmt=args.fmt,
+        backend=args.backend,
+        batch_targets=args.batch_targets,
+    )
+    stream = open_input(args.input)
+    writer = FastaWriter(sys.stdout, width=args.width)
+    run_stream(stream, writer, cfg)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

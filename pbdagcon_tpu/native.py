@@ -1,0 +1,260 @@
+"""ctypes bindings for the native C++ engine (`native/libdagcon.so`).
+
+The native engine is the production host side: streaming M5/'pre' parse,
+gap normalization, graph build + merge, linearization, float32 DP,
+backtrack, FASTA emission — multithreaded over targets (the reference is
+a pthread pipeline, SURVEY.md §2 C5–C6; ours is a worker pool inside
+`dagcon_consensus_text` / `dagcon_linearize_text`). Python falls back to
+the pure-Python implementations when the library isn't built.
+
+Build: `make -C native` (plain g++, no external deps). `load_engine()`
+returns None if unavailable; `ensure_built()` attempts a build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+from pbdagcon_tpu.ops.linearize import LinearGraph
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdagcon.so")
+
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Build libdagcon.so if missing; True if the library exists after."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not ensure_built():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _load_failed = True
+        return None
+    c_char_pp = ctypes.POINTER(ctypes.c_char_p)
+    c_long_p = ctypes.POINTER(ctypes.c_long)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.dagcon_engine_new.restype = ctypes.c_void_p
+    lib.dagcon_engine_new.argtypes = [ctypes.c_int] * 4
+    lib.dagcon_engine_free.argtypes = [ctypes.c_void_p]
+    lib.dagcon_consensus_text.restype = ctypes.c_int
+    lib.dagcon_consensus_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, c_char_pp, c_long_p,
+    ]
+    lib.dagcon_free.argtypes = [ctypes.c_char_p]
+    lib.dagcon_linearize_text.restype = ctypes.c_int
+    lib.dagcon_linearize_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.dagcon_target_meta.restype = ctypes.c_int
+    lib.dagcon_target_meta.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.dagcon_target_arrays.restype = ctypes.c_int
+    lib.dagcon_target_arrays.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u8p, i32p, i32p, i32p, u8p, i32p,
+        i32p, i32p, i32p, i32p, i32p,
+    ]
+    lib.dagcon_target_consensus.restype = ctypes.c_int
+    lib.dagcon_target_consensus.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        c_char_pp, c_long_p,
+    ]
+    lib.dagcon_target_scores.restype = ctypes.c_int
+    lib.dagcon_target_scores.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeEngine:
+    """One streaming engine instance (wraps `DagconEngine`)."""
+
+    def __init__(
+        self,
+        min_weight: int = 8,
+        min_length: int = 500,
+        trim: int = 0,
+        threads: int = 4,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable (make -C native)")
+        self._lib = lib
+        self._h = lib.dagcon_engine_new(min_weight, min_length, trim, threads)
+        self.min_weight = min_weight
+        self.min_length = min_length
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.dagcon_engine_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -------------------------------------------------------- host mode
+    def consensus_text(
+        self, text: bytes, fmt: str = "m5", flush: bool = True
+    ) -> str:
+        """Full native consensus: text chunk in, FASTA out."""
+        out = ctypes.c_char_p()
+        out_len = ctypes.c_long()
+        rc = self._lib.dagcon_consensus_text(
+            self._h, text, len(text), 0 if fmt == "m5" else 1,
+            1 if flush else 0, ctypes.byref(out), ctypes.byref(out_len),
+        )
+        try:
+            res = ctypes.string_at(out, out_len.value).decode()
+        finally:
+            self._lib.dagcon_free(out)
+        if rc != 0:
+            raise ValueError("malformed alignment record in input")
+        return res
+
+    # ------------------------------------------------------ loader mode
+    def linearize_text(
+        self, text: bytes, fmt: str = "m5", flush: bool = True
+    ) -> int:
+        """Parse + build + merge + linearize complete groups; returns the
+        number of targets now exported."""
+        return self._lib.dagcon_linearize_text(
+            self._h, text, len(text), 0 if fmt == "m5" else 1,
+            1 if flush else 0,
+        )
+
+    def get_linear(self, idx: int) -> LinearGraph:
+        """Export target `idx` as a `LinearGraph` (CSR -> lists)."""
+        meta = (ctypes.c_int * 5)()
+        sid_buf = ctypes.create_string_buffer(4096)
+        rc = self._lib.dagcon_target_meta(self._h, idx, meta, sid_buf, 4096)
+        if rc < 0:
+            raise IndexError(idx)
+        n, span, n_edges, n_enter, bb_len = (
+            meta[0], meta[1], meta[2], meta[3], meta[4],
+        )
+        base = np.zeros(max(1, n), dtype=np.uint8)
+        weight = np.zeros(max(1, n), dtype=np.int32)
+        bb = np.zeros(max(1, n), dtype=np.int32)
+        cov = np.zeros(max(1, n), dtype=np.int32)
+        unsup8 = np.zeros(max(1, n), dtype=np.uint8)
+        exit_count = np.zeros(max(1, n), dtype=np.int32)
+        edge_off = np.zeros(n + 1, dtype=np.int32)
+        edge_tgt = np.zeros(max(1, n_edges), dtype=np.int32)
+        edge_cnt = np.zeros(max(1, n_edges), dtype=np.int32)
+        enter_tgt = np.zeros(max(1, n_enter), dtype=np.int32)
+        enter_cnt = np.zeros(max(1, n_enter), dtype=np.int32)
+
+        def p(a, typ):
+            return a.ctypes.data_as(ctypes.POINTER(typ))
+
+        rc = self._lib.dagcon_target_arrays(
+            self._h, idx,
+            p(base, ctypes.c_uint8), p(weight, ctypes.c_int32),
+            p(bb, ctypes.c_int32), p(cov, ctypes.c_int32),
+            p(unsup8, ctypes.c_uint8), p(exit_count, ctypes.c_int32),
+            p(edge_off, ctypes.c_int32), p(edge_tgt, ctypes.c_int32),
+            p(edge_cnt, ctypes.c_int32), p(enter_tgt, ctypes.c_int32),
+            p(enter_cnt, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise RuntimeError("dagcon_target_arrays failed")
+        out_lists = [
+            [
+                (int(edge_tgt[e]), int(edge_cnt[e]))
+                for e in range(edge_off[u], edge_off[u + 1])
+            ]
+            for u in range(n)
+        ]
+        enter_edges = [
+            (int(enter_tgt[k]), int(enter_cnt[k])) for k in range(n_enter)
+        ]
+        return LinearGraph(
+            sid=sid_buf.value.decode(),
+            backbone_len=bb_len,
+            n=n,
+            span=span,
+            base=base[:n],
+            weight=weight[:n],
+            bb=bb[:n],
+            cov=cov[:n],
+            unsup=unsup8[:n].astype(bool),
+            exit_count=exit_count[:n],
+            out_lists=out_lists,
+            enter_edges=enter_edges,
+        )
+
+    def target_scores(self, idx: int, n: int) -> np.ndarray:
+        """Native float32 DP for target idx; returns scores[n+1]."""
+        s = np.zeros(n + 1, dtype=np.float32)
+        rc = self._lib.dagcon_target_scores(
+            self._h, idx, s.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        if rc != 0:
+            raise IndexError(idx)
+        return s
+
+    def target_consensus(self, idx: int, scores: np.ndarray) -> str:
+        """Native backtrack + FASTA emission given scores[n+1]."""
+        s = np.ascontiguousarray(scores, dtype=np.float32)
+        out = ctypes.c_char_p()
+        out_len = ctypes.c_long()
+        rc = self._lib.dagcon_target_consensus(
+            self._h, idx, s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.min_weight, self.min_length,
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise IndexError(idx)
+        try:
+            return ctypes.string_at(out, out_len.value).decode()
+        finally:
+            self._lib.dagcon_free(out)
+
+    def iter_linears(self, count: int) -> Iterator[LinearGraph]:
+        for i in range(count):
+            yield self.get_linear(i)

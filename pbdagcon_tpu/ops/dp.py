@@ -1,0 +1,235 @@
+"""Batched device consensus DP: reverse banded max-plus scan + long-edge
+register file.
+
+The reference's `AlnGraphBoost::consensus()` scores nodes in reverse
+topological order with a per-out-edge max (reconstructed
+`src/cpp/AlnGraphBoost.cpp`, SURVEY.md §3.4; SPEC.md §2.6). After
+linearization, edge spans are strongly banded (p99 of spans is tens) but
+node-merging across convergence points (e.g. every read's trailing
+insertion merging before exit) produces a few arbitrarily long edges per
+target. The DP therefore splits edges into:
+
+- **band**: span <= W, stored dense as `win_count[B, V, W]`, scored on
+  the fly from rolling attribute windows;
+- **long edges**: up to K per target, `(u, w, esc)` triples. The reverse
+  scan processes `w` before `u`, so when the scan emits `score[w]` it
+  latches `esc + score[w]` into a per-edge pending register, and when it
+  reaches `u` it folds all pending registers with `u_k == u` into the
+  max. Exactness is unaffected — same float32 candidates, and f32 max is
+  exact — so scores remain bitwise equal to the oracle's.
+
+Edges into the virtual exit node (score 0) are a separate dense lane
+(`esc_exit[B, V]`). Targets with more than K long edges fall back to the
+host engine (never wrong, just slower; SPEC.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbdagcon_tpu.ops.linearize import LinearGraph
+
+NEG_INF = np.float32(-np.inf)
+_PENALTY = np.float32(-10.0)
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def dp_scores(
+    win_count: jax.Array,  # [B, V, W] int32, -1 = no edge
+    exit_count: jax.Array,  # [B, V] int32, -1 = no edge
+    cov: jax.Array,  # [B, V] int32
+    unsup: jax.Array,  # [B, V] bool
+    long_u: jax.Array,  # [B, K] int32, -1 = unused slot
+    long_w: jax.Array,  # [B, K] int32
+    long_esc: jax.Array,  # [B, K] float32 (esc precomputed host-side)
+    unroll: int = 8,
+) -> jax.Array:
+    """Reverse max-plus scan over node index; returns scores [B, V] f32."""
+    B, V, W = win_count.shape
+
+    # Edge scores into exit: exit is backbone/weight-0/coverage-0, so
+    # esc = float(count) (SPEC §2.6).
+    esc_exit = jnp.where(
+        exit_count >= 0, exit_count.astype(jnp.float32), NEG_INF
+    )  # [B, V]
+
+    xs = (
+        jnp.swapaxes(win_count, 0, 1),  # [V, B, W]
+        jnp.moveaxis(esc_exit, 1, 0),  # [V, B]
+        jnp.moveaxis(cov.astype(jnp.float32), 1, 0),  # [V, B]
+        jnp.moveaxis(unsup, 1, 0),  # [V, B]
+        jnp.arange(V, dtype=jnp.int32),  # node index
+    )
+
+    init = (
+        jnp.full((B, W), NEG_INF, dtype=jnp.float32),  # score window
+        jnp.zeros((B, W), dtype=jnp.float32),  # cov window
+        jnp.zeros((B, W), dtype=jnp.bool_),  # unsup window
+        jnp.full(long_u.shape, NEG_INF, dtype=jnp.float32),  # pending
+    )
+
+    def step(carry, x):
+        score_win, cov_win, unsup_win, pend = carry
+        wc, e_exit, cov_u, unsup_u, i = x
+        esc = jnp.where(
+            wc >= 0,
+            jnp.where(
+                unsup_win,
+                _PENALTY,
+                wc.astype(jnp.float32) - 0.5 * cov_win,
+            ),
+            NEG_INF,
+        )  # [B, W]
+        s = jnp.max(esc + score_win, axis=-1)  # [B]
+        s = jnp.maximum(s, e_exit)
+        # Fold long edges leaving node i.
+        extra = jnp.max(
+            jnp.where(long_u == i, pend, NEG_INF), axis=-1
+        )  # [B]
+        s = jnp.maximum(s, extra)
+        # Latch long edges arriving at node i: cand = esc + score[i].
+        pend = jnp.where(long_w == i, long_esc + s[:, None], pend)
+        new_score = jnp.concatenate([s[:, None], score_win[:, :-1]], axis=1)
+        new_cov = jnp.concatenate([cov_u[:, None], cov_win[:, :-1]], axis=1)
+        new_unsup = jnp.concatenate(
+            [unsup_u[:, None], unsup_win[:, :-1]], axis=1
+        )
+        return (new_score, new_cov, new_unsup, pend), s
+
+    _, ys = jax.lax.scan(step, init, xs, reverse=True, unroll=unroll)
+    return jnp.moveaxis(ys, 0, 1)  # [B, V]
+
+
+class LongEdgeOverflow(ValueError):
+    """Raised when a target has more than K long edges (host fallback)."""
+
+
+def choose_layout(
+    lins: list[LinearGraph],
+    w_ladder: tuple[int, ...] = (16, 32, 64, 128),
+    k_ladder: tuple[int, ...] = (8, 32, 128, 512, 2048),
+) -> tuple[int, int]:
+    """Pick the (W, K) bucket minimizing per-node DP work `W + K`.
+
+    For each candidate band width W, K is the smallest ladder entry
+    covering the worst per-target long-edge count. Span statistics are
+    cheap to compute host-side; depth/noise move the optimum (shallow
+    pileups want W=16, 100-500x pileups want W=64..128)."""
+    best: tuple[int, int] | None = None
+    for W in w_ladder:
+        worst = 0
+        for lin in lins:
+            cnt = 0
+            for u, edges in enumerate(lin.out_lists):
+                for w, _c in edges:
+                    if w < lin.n and w - u - 1 >= W:
+                        cnt += 1
+            worst = max(worst, cnt)
+        K = next((k for k in k_ladder if k >= worst), None)
+        if K is None:
+            continue
+        if best is None or W + K < best[0] + best[1]:
+            best = (W, K)
+    if best is None:
+        raise LongEdgeOverflow(
+            "no (W, K) bucket fits; host fallback required"
+        )
+    return best
+
+
+def pad_batch(
+    lins: list[LinearGraph], V: int, W: int, K: int
+) -> dict[str, np.ndarray]:
+    """Pack linear graphs into padded batch arrays for `dp_scores`.
+
+    Edges with span <= W go to the dense band; the rest become long-edge
+    triples with host-precomputed esc. Raises `LongEdgeOverflow` if a
+    target has more than K long edges, `ValueError` if n > V.
+    """
+    B = len(lins)
+    win = np.full((B, V, W), -1, dtype=np.int32)
+    exit_c = np.full((B, V), -1, dtype=np.int32)
+    cov = np.zeros((B, V), dtype=np.int32)
+    uns = np.zeros((B, V), dtype=bool)
+    lu = np.full((B, K), -1, dtype=np.int32)
+    lw = np.full((B, K), -1, dtype=np.int32)
+    lesc = np.full((B, K), NEG_INF, dtype=np.float32)
+    n = np.zeros(B, dtype=np.int32)
+    for b, lin in enumerate(lins):
+        if lin.n > V:
+            raise ValueError(f"target {lin.sid}: n={lin.n} > bucket V={V}")
+        k = 0
+        for u, edges in enumerate(lin.out_lists):
+            for w, c in edges:
+                if w >= lin.n:
+                    continue  # exit edge, separate lane
+                d = w - u - 1
+                if d < W:
+                    win[b, u, d] = c
+                else:
+                    if k >= K:
+                        raise LongEdgeOverflow(
+                            f"target {lin.sid}: >{K} long edges at W={W}"
+                        )
+                    lu[b, k] = u
+                    lw[b, k] = w
+                    if lin.unsup[w]:
+                        lesc[b, k] = _PENALTY
+                    else:
+                        lesc[b, k] = np.float32(
+                            np.float32(c)
+                            - np.float32(0.5) * np.float32(lin.cov[w])
+                        )
+                    k += 1
+        exit_c[b, : lin.n] = lin.exit_count
+        cov[b, : lin.n] = lin.cov
+        uns[b, : lin.n] = lin.unsup
+        n[b] = lin.n
+    return {
+        "win_count": win,
+        "exit_count": exit_c,
+        "cov": cov,
+        "unsup": uns,
+        "long_u": lu,
+        "long_w": lw,
+        "long_esc": lesc,
+        "n": n,
+    }
+
+
+def batch_scores(
+    lins: list[LinearGraph],
+    V: int,
+    W: int,
+    K: int = 32,
+    backend: str = "xla",
+) -> np.ndarray:
+    """Run the device DP for a bucket of targets; returns [B, V] f32."""
+    batch = pad_batch(lins, V, W, K)
+    if backend == "pallas":
+        from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
+
+        scores = dp_scores_pallas(
+            batch["win_count"],
+            batch["exit_count"],
+            batch["cov"],
+            batch["unsup"],
+            batch["long_u"],
+            batch["long_w"],
+            batch["long_esc"],
+        )
+    else:
+        scores = dp_scores(
+            jnp.asarray(batch["win_count"]),
+            jnp.asarray(batch["exit_count"]),
+            jnp.asarray(batch["cov"]),
+            jnp.asarray(batch["unsup"]),
+            jnp.asarray(batch["long_u"]),
+            jnp.asarray(batch["long_w"]),
+            jnp.asarray(batch["long_esc"]),
+        )
+    return np.asarray(scores)

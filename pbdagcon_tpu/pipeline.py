@@ -1,0 +1,210 @@
+"""End-to-end consensus pipeline: stream -> groups -> graphs -> device DP
+-> backtrack -> FASTA.
+
+TPU-first replacement for the reference's threaded reader/worker/writer
+pipeline (`src/cpp/main.cpp`, SURVEY.md §3.1 — reconstructed; mount
+empty). Instead of per-target worker threads, targets are *batched*: each
+target's merged graph is linearized host-side (natively when the C++
+engine is built), batches are bucketed by padded size, and the weighted
+best-path DP runs for the whole bucket at once on the accelerator. Exact
+creation-order backtrack and fragment emission return to the host, so
+output is bit-identical to the oracle regardless of backend.
+
+Backends (`DagconConfig.backend`):
+- "host":   pure host DP (no device) — reference-equivalent single path.
+- "xla":    batched `lax.scan` DP (`ops/dp.py`).
+- "pallas": batched Pallas TPU kernel (`ops/dp_pallas.py`).
+- "auto":   pallas on TPU devices, xla otherwise.
+
+Targets that overflow the largest (V, W, K) bucket fall back to the host
+path — exactness is never sacrificed (SPEC.md §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Iterable, Iterator, TextIO
+
+from pbdagcon_tpu.config import DagconConfig
+from pbdagcon_tpu.io import FastaWriter, TargetGroup, read_groups
+from pbdagcon_tpu.oracle.graph import CnsResult
+from pbdagcon_tpu.ops.dp import LongEdgeOverflow, batch_scores, choose_layout
+from pbdagcon_tpu.ops.linearize import (
+    LinearGraph,
+    backtrack,
+    consensus_from_path,
+    graph_from_group,
+    host_scores,
+    linearize,
+)
+
+log = logging.getLogger("pbdagcon_tpu")
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    """Counters mirroring the reference's log output, plus TPU-specifics."""
+
+    targets: int = 0
+    fragments: int = 0
+    consensus_bases: int = 0
+    host_fallbacks: int = 0
+    batches: int = 0
+    pad_nodes: int = 0  # padded - real nodes (pad-waste measure)
+    real_nodes: int = 0
+
+
+def resolve_backend(cfg: DagconConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            return "pallas"
+    except Exception:  # pragma: no cover - no jax / no devices
+        return "host"
+    return "xla"
+
+
+def _bucket_of(x: int, ladder: tuple[int, ...]) -> int | None:
+    for v in ladder:
+        if x <= v:
+            return v
+    return None
+
+
+def linearize_group(
+    group: TargetGroup, cfg: DagconConfig
+) -> LinearGraph:
+    """Normalize/trim, build + merge the graph, linearize (host side)."""
+    g = graph_from_group(group.backbone, group.alns, trim=cfg.trim)
+    return linearize(g, sid=group.sid)
+
+
+def consensus_for_lin(
+    lin: LinearGraph, scores, cfg: DagconConfig
+) -> list[CnsResult]:
+    path = backtrack(lin, scores)
+    return consensus_from_path(lin, path, cfg.min_weight, cfg.min_length)
+
+
+def _flush_bucket(
+    lins: list[LinearGraph],
+    V: int,
+    cfg: DagconConfig,
+    backend: str,
+    stats: PipelineStats,
+) -> Iterator[tuple[str, list[CnsResult]]]:
+    """Run one padded bucket batch through the device DP."""
+    try:
+        W, K = choose_layout(lins, w_ladder=cfg.w_buckets)
+        scores = batch_scores(lins, V, W, K, backend=backend)
+    except LongEdgeOverflow:
+        # Pathological targets: exact host DP, never wrong (SPEC §3.1).
+        stats.host_fallbacks += len(lins)
+        for lin in lins:
+            yield lin.sid, consensus_for_lin(lin, host_scores(lin), cfg)
+        return
+    stats.batches += 1
+    for i, lin in enumerate(lins):
+        stats.pad_nodes += V - lin.n
+        stats.real_nodes += lin.n
+        yield lin.sid, consensus_for_lin(lin, scores[i, : lin.n], cfg)
+
+
+def run_pipeline(
+    groups: Iterable[TargetGroup],
+    cfg: DagconConfig = DagconConfig(),
+    stats: PipelineStats | None = None,
+) -> Iterator[tuple[str, list[CnsResult]]]:
+    """Consensus for a stream of target groups, in input order.
+
+    Batches consecutive targets into per-V-bucket device batches of up to
+    `cfg.batch_targets`; emits results in input order (the reference
+    writer preserves order too).
+    """
+    stats = stats if stats is not None else PipelineStats()
+    backend = resolve_backend(cfg)
+
+    if backend == "host":
+        for group in groups:
+            lin = linearize_group(group, cfg)
+            stats.targets += 1
+            res = consensus_for_lin(lin, host_scores(lin), cfg)
+            stats.fragments += len(res)
+            stats.consensus_bases += sum(len(r.seq) for r in res)
+            yield group.sid, res
+        return
+
+    # Ordered batching: accumulate consecutive targets; flush when the
+    # pending batch for a bucket is full. To preserve input order we
+    # flush *all* pending work whenever any bucket fills.
+    pending: list[tuple[LinearGraph | None, TargetGroup | None]] = []
+    per_bucket: dict[int, int] = {}
+
+    def flush() -> Iterator[tuple[str, list[CnsResult]]]:
+        nonlocal pending, per_bucket
+        buckets: dict[int, list[LinearGraph]] = {}
+        for lin, grp in pending:
+            if lin is not None:
+                V = _bucket_of(lin.n, cfg.v_buckets)
+                assert V is not None
+                buckets.setdefault(V, []).append(lin)
+        results: dict[str, list[CnsResult]] = {}
+        for V, lins in buckets.items():
+            for sid, res in _flush_bucket(lins, V, cfg, backend, stats):
+                results[sid] = res
+        for lin, grp in pending:
+            if lin is None:
+                assert grp is not None
+                stats.host_fallbacks += 1
+                hl = linearize_group(grp, cfg)
+                res = consensus_for_lin(hl, host_scores(hl), cfg)
+                sid = grp.sid
+            else:
+                sid = lin.sid
+                res = results[sid]
+            stats.fragments += len(res)
+            stats.consensus_bases += sum(len(r.seq) for r in res)
+            yield sid, res
+        pending = []
+        per_bucket = {}
+
+    for group in groups:
+        stats.targets += 1
+        lin = linearize_group(group, cfg)
+        V = _bucket_of(lin.n, cfg.v_buckets)
+        if V is None:
+            pending.append((None, group))  # host fallback, keeps order
+            continue
+        pending.append((lin, None))
+        per_bucket[V] = per_bucket.get(V, 0) + 1
+        if per_bucket[V] >= cfg.batch_targets:
+            yield from flush()
+    yield from flush()
+
+
+def run_stream(
+    stream: TextIO | Iterable[str],
+    out: FastaWriter,
+    cfg: DagconConfig = DagconConfig(),
+) -> PipelineStats:
+    """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
+    stats = PipelineStats()
+    for sid, results in run_pipeline(read_groups(stream, cfg.fmt), cfg, stats):
+        out.write_target(sid, results)
+    log.info(
+        "targets=%d fragments=%d bases=%d batches=%d host_fallbacks=%d "
+        "pad_waste=%.1f%%",
+        stats.targets,
+        stats.fragments,
+        stats.consensus_bases,
+        stats.batches,
+        stats.host_fallbacks,
+        100.0
+        * stats.pad_nodes
+        / max(1, stats.pad_nodes + stats.real_nodes),
+    )
+    return stats
