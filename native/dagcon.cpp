@@ -629,6 +629,7 @@ static std::string backbone_of(const Group& g) {
 
 struct Engine {
   int32_t min_weight = 8, min_length = 500, trim = 0, threads = 4;
+  long targets_done = 0;
   std::string pending_line;           // partial trailing line
   Group pending_group;                // trailing (possibly incomplete) group
   std::vector<Group> ready;           // complete groups awaiting processing
@@ -730,6 +731,7 @@ struct Engine {
       emit_consensus(lin, path, min_weight, min_length, results[i]);
     });
     for (const std::string& r : results) out += r;
+    targets_done += (long)count;
     ready.clear();
   }
 
@@ -866,6 +868,9 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
   *out_len = (long)fasta.size();
   return 0;
 }
+
+// Total complete target groups consumed so far (host-mode stats).
+long dagcon_engine_targets(void* h) { return ((Engine*)h)->targets_done; }
 
 // Host-side float32 DP for target idx: fills scores[n+1].
 int dagcon_target_scores(void* h, int idx, float* scores) {

@@ -94,6 +94,8 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.dagcon_target_scores.restype = ctypes.c_int
     lib.dagcon_target_scores.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p]
+    lib.dagcon_engine_targets.restype = ctypes.c_long
+    lib.dagcon_engine_targets.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -136,6 +138,11 @@ class NativeEngine:
 
     def __exit__(self, *exc):
         self.close()
+
+    @property
+    def targets_done(self) -> int:
+        """Complete target groups consumed so far (host mode)."""
+        return int(self._lib.dagcon_engine_targets(self._h))
 
     # -------------------------------------------------------- host mode
     def consensus_text(
@@ -203,16 +210,6 @@ class NativeEngine:
         )
         if rc != 0:
             raise RuntimeError("dagcon_target_arrays failed")
-        out_lists = [
-            [
-                (int(edge_tgt[e]), int(edge_cnt[e]))
-                for e in range(edge_off[u], edge_off[u + 1])
-            ]
-            for u in range(n)
-        ]
-        enter_edges = [
-            (int(enter_tgt[k]), int(enter_cnt[k])) for k in range(n_enter)
-        ]
         return LinearGraph(
             sid=sid_buf.value.decode(),
             backbone_len=bb_len,
@@ -224,8 +221,11 @@ class NativeEngine:
             cov=cov[:n],
             unsup=unsup8[:n].astype(bool),
             exit_count=exit_count[:n],
-            out_lists=out_lists,
-            enter_edges=enter_edges,
+            edge_off=edge_off,
+            edge_tgt=edge_tgt[:n_edges],
+            edge_cnt=edge_cnt[:n_edges],
+            enter_tgt=enter_tgt[:n_enter],
+            enter_cnt=enter_cnt[:n_enter],
         )
 
     def target_scores(self, idx: int, n: int) -> np.ndarray:

@@ -108,6 +108,15 @@ class LongEdgeOverflow(ValueError):
     """Raised when a target has more than K long edges (host fallback)."""
 
 
+def _edge_spans(lin: LinearGraph) -> np.ndarray:
+    """Spans (w - u) of interior CSR edges (exit edges excluded)."""
+    u_of_edge = np.repeat(
+        np.arange(lin.n, dtype=np.int32), np.diff(lin.edge_off)
+    )
+    interior = lin.edge_tgt < lin.n
+    return (lin.edge_tgt - u_of_edge)[interior], u_of_edge[interior]
+
+
 def choose_layout(
     lins: list[LinearGraph],
     w_ladder: tuple[int, ...] = (16, 32, 64, 128),
@@ -119,16 +128,10 @@ def choose_layout(
     covering the worst per-target long-edge count. Span statistics are
     cheap to compute host-side; depth/noise move the optimum (shallow
     pileups want W=16, 100-500x pileups want W=64..128)."""
+    spans = [_edge_spans(lin)[0] for lin in lins]
     best: tuple[int, int] | None = None
     for W in w_ladder:
-        worst = 0
-        for lin in lins:
-            cnt = 0
-            for u, edges in enumerate(lin.out_lists):
-                for w, _c in edges:
-                    if w < lin.n and w - u - 1 >= W:
-                        cnt += 1
-            worst = max(worst, cnt)
+        worst = max((int((s > W).sum()) for s in spans), default=0)
         K = next((k for k in k_ladder if k >= worst), None)
         if K is None:
             continue
@@ -150,6 +153,8 @@ def pad_batch(
     triples with host-precomputed esc. Raises `LongEdgeOverflow` if a
     target has more than K long edges, `ValueError` if n > V.
     """
+    from pbdagcon_tpu.ops.linearize import edge_escores
+
     B = len(lins)
     win = np.full((B, V, W), -1, dtype=np.int32)
     exit_c = np.full((B, V), -1, dtype=np.int32)
@@ -162,29 +167,25 @@ def pad_batch(
     for b, lin in enumerate(lins):
         if lin.n > V:
             raise ValueError(f"target {lin.sid}: n={lin.n} > bucket V={V}")
-        k = 0
-        for u, edges in enumerate(lin.out_lists):
-            for w, c in edges:
-                if w >= lin.n:
-                    continue  # exit edge, separate lane
-                d = w - u - 1
-                if d < W:
-                    win[b, u, d] = c
-                else:
-                    if k >= K:
-                        raise LongEdgeOverflow(
-                            f"target {lin.sid}: >{K} long edges at W={W}"
-                        )
-                    lu[b, k] = u
-                    lw[b, k] = w
-                    if lin.unsup[w]:
-                        lesc[b, k] = _PENALTY
-                    else:
-                        lesc[b, k] = np.float32(
-                            np.float32(c)
-                            - np.float32(0.5) * np.float32(lin.cov[w])
-                        )
-                    k += 1
+        interior = lin.edge_tgt < lin.n
+        u_all = np.repeat(
+            np.arange(lin.n, dtype=np.int32), np.diff(lin.edge_off)
+        )
+        u_e = u_all[interior]
+        w_e = lin.edge_tgt[interior]
+        c_e = lin.edge_cnt[interior]
+        d = w_e - u_e - 1
+        band = d < W
+        win[b, u_e[band], d[band]] = c_e[band]
+        nlong = int((~band).sum())
+        if nlong > K:
+            raise LongEdgeOverflow(
+                f"target {lin.sid}: {nlong} > {K} long edges at W={W}"
+            )
+        if nlong:
+            lu[b, :nlong] = u_e[~band]
+            lw[b, :nlong] = w_e[~band]
+            lesc[b, :nlong] = edge_escores(lin, w_e[~band], c_e[~band])
         exit_c[b, : lin.n] = lin.exit_count
         cov[b, : lin.n] = lin.cov
         uns[b, : lin.n] = lin.unsup

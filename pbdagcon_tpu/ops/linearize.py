@@ -4,8 +4,9 @@ Converts a merged `AlnGraph` into fixed-shape banded arrays the device DP
 consumes, and provides the bit-parity-critical host-side steps around the
 device DP:
 
-- `linearize(graph)`  -> `LinearGraph` dense/banded arrays + creation-order
-  edge lists.
+- `linearize(graph)`  -> `LinearGraph`: per-node arrays + creation-order
+  CSR out-edge lists (numpy; zero-copy compatible with the native C++
+  loader's export).
 - `backtrack(lin, scores)` -> best path by the reference's tie-break rule
   (first strict max in edge creation order, SPEC.md §2.6), using device
   scores. Because float32 `max` is exact, device scores are bitwise equal
@@ -42,14 +43,17 @@ class LinearGraph:
 
     Interior nodes (alive, non-sentinel) are indexed `0..n-1` in a
     topological order that keeps every interior edge's span `w - u`
-    within `span`. Enter and exit are virtual: enter's out-edges live in
-    `enter_edges` (host only); edges into exit live in `exit_count`.
+    small. Enter and exit are virtual: enter's out-edges live in
+    `enter_tgt`/`enter_cnt` (host only); edges into exit appear both in
+    `exit_count` (dense device lane) and in the CSR lists with target
+    `n`. CSR edge order within a node is creation order — parity-
+    critical for the backtrack tie-break.
     """
 
     sid: str
     backbone_len: int
     n: int
-    span: int  # max over interior edges of (w - u); window W must be >= span
+    span: int  # max over interior edges of (w - u)
     # Per-node arrays, length n.
     base: np.ndarray  # uint8
     weight: np.ndarray  # int32
@@ -57,22 +61,16 @@ class LinearGraph:
     cov: np.ndarray  # int32: coverage(anchor(node))
     unsup: np.ndarray  # bool: backbone and weight == 1
     exit_count: np.ndarray  # int32: count of edge node->exit, NO_EDGE if none
-    # Creation-order out-edge lists (parity-critical order). Targets are
-    # linear indices; `n` denotes the virtual exit node.
-    out_lists: list[list[tuple[int, int]]]  # per node: [(target, count), ...]
-    enter_edges: list[tuple[int, int]]  # enter's out-edges, creation order
+    # Creation-order CSR out-edges; target == n denotes the virtual exit.
+    edge_off: np.ndarray  # int32 [n+1]
+    edge_tgt: np.ndarray  # int32 [E]
+    edge_cnt: np.ndarray  # int32 [E]
+    enter_tgt: np.ndarray  # int32 [E0]: enter's out-edges, creation order
+    enter_cnt: np.ndarray  # int32 [E0]
 
-    def window_counts(self, W: int) -> np.ndarray:
-        """Dense banded counts: `win[u, d] = count(u -> u+1+d)`,
-        NO_EDGE where absent. Requires `W >= self.span`."""
-        if W < self.span:
-            raise ValueError(f"window {W} < span {self.span}")
-        win = np.full((self.n, W), NO_EDGE, dtype=np.int32)
-        for u, edges in enumerate(self.out_lists):
-            for w, c in edges:
-                if w < self.n:
-                    win[u, w - u - 1] = c
-        return win
+    @property
+    def n_edges(self) -> int:
+        return int(self.edge_tgt.shape[0])
 
 
 def graph_from_group(
@@ -96,7 +94,7 @@ def graph_from_group(
 
 
 def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
-    """Topologically order interior nodes and emit banded arrays.
+    """Topologically order interior nodes and emit banded CSR arrays.
 
     Order: Kahn's algorithm with a min-heap keyed
     `(anchor, is_insertion, creation_id)` — backbone nodes ascending,
@@ -105,8 +103,8 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
     edge then points forward with a small span (SPEC.md §3.1).
     """
     n_all = len(g.base)
-    alive = [v for v in range(n_all) if not g.deleted[v]]
-    indeg = {v: len(g.in_e[v]) for v in alive}
+    alive = sum(1 for v in range(n_all) if not g.deleted[v])
+    indeg = {v: len(g.in_e[v]) for v in range(n_all) if not g.deleted[v]}
 
     def key(v: int) -> tuple[int, int, int]:
         return (g.anchor[v], 0 if g.backbone_f[v] else 1, v)
@@ -120,16 +118,17 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
             indeg[w] -= 1
             if indeg[w] == 0:
                 heapq.heappush(heap, (key(w), w))
-    if len(order) != len(alive):
+    if len(order) != alive:
         raise RuntimeError(
             f"graph not a DAG or has unreachable nodes: "
-            f"{len(order)} != {len(alive)}"
+            f"{len(order)} != {alive}"
         )
 
-    # Interior = drop enter (first) and exit.
     interior = [v for v in order if v != g.enter and v != g.exit]
     n = len(interior)
-    lin_of = {v: i for i, v in enumerate(interior)}
+    lin_of = np.full(n_all, -1, dtype=np.int32)
+    for i, v in enumerate(interior):
+        lin_of[v] = i
 
     base = np.zeros(n, dtype=np.uint8)
     weight = np.zeros(n, dtype=np.int32)
@@ -137,7 +136,9 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
     cov = np.zeros(n, dtype=np.int32)
     unsup = np.zeros(n, dtype=bool)
     exit_count = np.full(n, NO_EDGE, dtype=np.int32)
-    out_lists: list[list[tuple[int, int]]] = []
+    edge_off = np.zeros(n + 1, dtype=np.int32)
+    tgt_list: list[int] = []
+    cnt_list: list[int] = []
 
     span = 0
     for i, v in enumerate(interior):
@@ -146,22 +147,27 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
         bb[i] = v if g.backbone_f[v] else 0
         cov[i] = g.coverage[g.anchor[v]]
         unsup[i] = g.backbone_f[v] and g.weight[v] == 1
-        lst: list[tuple[int, int]] = []
         for w, c in g.out_e[v].items():
             if w == g.exit:
                 exit_count[i] = c
-                lst.append((n, c))
+                tgt_list.append(n)
+                cnt_list.append(c)
             else:
-                j = lin_of[w]
+                j = int(lin_of[w])
                 if j <= i:
                     raise RuntimeError("non-forward interior edge")
                 span = max(span, j - i)
-                lst.append((j, c))
-        out_lists.append(lst)
+                tgt_list.append(j)
+                cnt_list.append(c)
+        edge_off[i + 1] = len(tgt_list)
 
-    enter_edges = [
-        (lin_of[w], c) for w, c in g.out_e[g.enter].items() if w != g.exit
-    ]
+    enter_tgt = np.array(
+        [lin_of[w] for w in g.out_e[g.enter] if w != g.exit], dtype=np.int32
+    )
+    enter_cnt = np.array(
+        [c for w, c in g.out_e[g.enter].items() if w != g.exit],
+        dtype=np.int32,
+    )
 
     return LinearGraph(
         sid=sid,
@@ -174,29 +180,37 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
         cov=cov,
         unsup=unsup,
         exit_count=exit_count,
-        out_lists=out_lists,
-        enter_edges=enter_edges,
+        edge_off=edge_off,
+        edge_tgt=np.array(tgt_list, dtype=np.int32),
+        edge_cnt=np.array(cnt_list, dtype=np.int32),
+        enter_tgt=enter_tgt,
+        enter_cnt=enter_cnt,
     )
 
 
-def _escore(lin: LinearGraph, w: int, count: int) -> np.float32:
-    """Edge score into node `w` (linear index; `lin.n` = exit). SPEC §2.6."""
-    if w == lin.n:  # exit: backbone, weight 0, coverage 0
-        return _F32(count)
-    if lin.unsup[w]:
-        return _PENALTY
-    return _F32(_F32(count) - _HALF * _F32(lin.cov[w]))
+def edge_escores(lin: LinearGraph, tgt: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Vectorized float32 edge scores into nodes `tgt` (n = exit). SPEC §2.6."""
+    is_exit = tgt == lin.n
+    w = np.where(is_exit, 0, tgt)
+    esc = cnt.astype(np.float32) - _HALF * lin.cov[w].astype(np.float32)
+    esc = np.where(lin.unsup[w], _PENALTY, esc)
+    esc = np.where(is_exit, cnt.astype(np.float32), esc)
+    return esc.astype(np.float32)
 
 
 def host_scores(lin: LinearGraph) -> np.ndarray:
-    """Reference-exact float32 DP on the linearized arrays (host path /
-    oracle for the device DP). Returns scores[n] float32."""
+    """Reference-exact float32 DP on the CSR arrays (host path / oracle
+    for the device DP). Returns scores[n] float32."""
     score = np.full(lin.n + 1, _NEG_MAX, dtype=np.float32)
     score[lin.n] = _F32(0.0)
+    esc = edge_escores(lin, lin.edge_tgt, lin.edge_cnt)
+    off = lin.edge_off
+    tgt = lin.edge_tgt
     for u in range(lin.n - 1, -1, -1):
+        lo, hi = off[u], off[u + 1]
         best = _NEG_MAX
-        for w, c in lin.out_lists[u]:
-            cand = _F32(_escore(lin, w, c) + score[w])
+        for e in range(lo, hi):
+            cand = _F32(esc[e] + score[tgt[e]])
             if cand > best:
                 best = cand
         score[u] = best
@@ -212,22 +226,26 @@ def backtrack(lin: LinearGraph, scores: np.ndarray) -> list[int]:
     full = np.empty(lin.n + 1, dtype=np.float32)
     full[: lin.n] = scores
     full[lin.n] = _F32(0.0)
+    esc = edge_escores(lin, lin.edge_tgt, lin.edge_cnt)
+    enter_esc = edge_escores(lin, lin.enter_tgt, lin.enter_cnt)
 
-    def pick(edges: list[tuple[int, int]]) -> int:
+    def pick(tgt: np.ndarray, e_esc: np.ndarray) -> int:
         best = _NEG_MAX
         best_w = -1
-        for w, c in edges:
-            cand = _F32(_escore(lin, w, c) + full[w])
+        for k in range(len(tgt)):
+            cand = _F32(e_esc[k] + full[tgt[k]])
             if cand > best:
                 best = cand
-                best_w = w
+                best_w = int(tgt[k])
         return best_w
 
     path: list[int] = []
-    u = pick(lin.enter_edges)
+    u = pick(lin.enter_tgt, enter_esc)
+    off = lin.edge_off
     while u >= 0 and u != lin.n:
         path.append(u)
-        u = pick(lin.out_lists[u])
+        lo, hi = off[u], off[u + 1]
+        u = pick(lin.edge_tgt[lo:hi], esc[lo:hi])
     return path
 
 

@@ -26,6 +26,8 @@ import dataclasses
 import logging
 from typing import Iterable, Iterator, TextIO
 
+import numpy as np
+
 from pbdagcon_tpu.config import DagconConfig
 from pbdagcon_tpu.io import FastaWriter, TargetGroup, read_groups
 from pbdagcon_tpu.oracle.graph import CnsResult
@@ -186,6 +188,121 @@ def run_pipeline(
     yield from flush()
 
 
+def _native_engine(cfg: DagconConfig):
+    """Native C++ engine if requested and built, else None."""
+    if not cfg.use_native:
+        return None
+    from pbdagcon_tpu import native
+
+    if not native.available():
+        return None
+    return native.NativeEngine(
+        min_weight=cfg.min_weight,
+        min_length=cfg.min_length,
+        trim=cfg.trim,
+        threads=cfg.threads,
+    )
+
+
+def _run_stream_native(
+    stream: TextIO | Iterable[str],
+    out: FastaWriter,
+    cfg: DagconConfig,
+    backend: str,
+    stats: PipelineStats,
+    chunk_bytes: int = 8 << 20,
+) -> PipelineStats:
+    """Native-loader path: C++ parse/normalize/graph/linearize (threaded),
+    device DP per bucket batch, native backtrack + FASTA emission.
+
+    With backend == "host" the DP runs natively too and this is the
+    reference-architecture-equivalent all-C++ path with Python only
+    orchestrating IO chunks.
+    """
+    eng = _native_engine(cfg)
+    assert eng is not None
+
+    def chunks() -> Iterator[tuple[bytes, bool]]:
+        if hasattr(stream, "read"):
+            while True:
+                buf = stream.read(chunk_bytes)  # type: ignore[union-attr]
+                if not buf:
+                    break
+                yield buf.encode() if isinstance(buf, str) else buf, False
+        else:
+            for line in stream:
+                yield line.encode(), False
+        yield b"", True
+
+    try:
+        if backend == "host":
+            for data, flush in chunks():
+                text = eng.consensus_text(data, fmt=cfg.fmt, flush=flush)
+                if text:
+                    out.stream.write(text)
+                    stats.fragments += text.count(">")
+                    stats.consensus_bases += sum(
+                        len(l)
+                        for l in text.splitlines()
+                        if not l.startswith(">")
+                    )
+            stats.targets = eng.targets_done
+            return stats
+        for data, flush in chunks():
+            count = eng.linearize_text(data, fmt=cfg.fmt, flush=flush)
+            if count == 0:
+                continue
+            lins = [eng.get_linear(i) for i in range(count)]
+            stats.targets += count
+            # Bucket by V, batch the DP, emit natively in input order.
+            buckets: dict[int, list[int]] = {}
+            for i, lin in enumerate(lins):
+                V = _bucket_of(lin.n, cfg.v_buckets)
+                buckets.setdefault(V if V is not None else -1, []).append(i)
+            scores: dict[int, object] = {}
+            for V, idxs in buckets.items():
+                if V < 0:
+                    for i in idxs:  # out-of-bucket: native host DP
+                        stats.host_fallbacks += 1
+                        scores[i] = eng.target_scores(i, lins[i].n)
+                    continue
+                group = [lins[i] for i in idxs]
+                try:
+                    W, K = choose_layout(group, w_ladder=cfg.w_buckets)
+                    sc = batch_scores(group, V, W, K, backend=backend)
+                    stats.batches += 1
+                    for j, i in enumerate(idxs):
+                        stats.pad_nodes += V - lins[i].n
+                        stats.real_nodes += lins[i].n
+                        full = np.empty(lins[i].n + 1, dtype=np.float32)
+                        full[: lins[i].n] = sc[j, : lins[i].n]
+                        full[lins[i].n] = 0.0
+                        scores[i] = full
+                except LongEdgeOverflow:
+                    for i in idxs:
+                        stats.host_fallbacks += 1
+                        scores[i] = eng.target_scores(i, lins[i].n)
+            for i in range(count):
+                s = scores[i]
+                if len(s) == lins[i].n:  # device slice without exit slot
+                    full = np.empty(lins[i].n + 1, dtype=np.float32)
+                    full[: lins[i].n] = s
+                    full[lins[i].n] = 0.0
+                    s = full
+                text = eng.target_consensus(i, s)
+                if text:
+                    out.stream.write(text)
+                    stats.fragments += text.count(">")
+                    stats.consensus_bases += sum(
+                        len(l)
+                        for l in text.splitlines()
+                        if not l.startswith(">")
+                    )
+        return stats
+    finally:
+        eng.close()
+
+
 def run_stream(
     stream: TextIO | Iterable[str],
     out: FastaWriter,
@@ -193,8 +310,19 @@ def run_stream(
 ) -> PipelineStats:
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
     stats = PipelineStats()
-    for sid, results in run_pipeline(read_groups(stream, cfg.fmt), cfg, stats):
-        out.write_target(sid, results)
+    backend = resolve_backend(cfg)
+    used_native = False
+    if cfg.use_native:
+        from pbdagcon_tpu import native as _native
+
+        if _native.available():
+            _run_stream_native(stream, out, cfg, backend, stats)
+            used_native = True
+    if not used_native:
+        for sid, results in run_pipeline(
+            read_groups(stream, cfg.fmt), cfg, stats
+        ):
+            out.write_target(sid, results)
     log.info(
         "targets=%d fragments=%d bases=%d batches=%d host_fallbacks=%d "
         "pad_waste=%.1f%%",

@@ -120,8 +120,11 @@ def test_native_linearize_matches_python():
             np.testing.assert_array_equal(nl.cov, pl.cov)
             np.testing.assert_array_equal(nl.unsup, pl.unsup)
             np.testing.assert_array_equal(nl.exit_count, pl.exit_count)
-            assert nl.out_lists == pl.out_lists
-            assert nl.enter_edges == pl.enter_edges
+            np.testing.assert_array_equal(nl.edge_off, pl.edge_off)
+            np.testing.assert_array_equal(nl.edge_tgt, pl.edge_tgt)
+            np.testing.assert_array_equal(nl.edge_cnt, pl.edge_cnt)
+            np.testing.assert_array_equal(nl.enter_tgt, pl.enter_tgt)
+            np.testing.assert_array_equal(nl.enter_cnt, pl.enter_cnt)
             # Native float32 DP == Python float32 DP, bitwise.
             ns = eng.target_scores(i, nl.n)
             np.testing.assert_array_equal(ns[: nl.n], host_scores(pl))
