@@ -1,0 +1,145 @@
+"""tpu-dagcon benchmark: consensus bases/sec/chip vs single-core C++.
+
+Measures the end-to-end pipeline (native C++ parse/normalize/graph/
+linearize -> batched Pallas/XLA DP on device -> native backtrack/FASTA)
+on simulated pileups matching BASELINE.json config #2 (batched
+multi-target consensus), and compares against the single-threaded native
+C++ host engine — the stand-in for the reference `dagcon` single-core
+baseline (the reference mount is empty; BASELINE.md explains, and the
+native engine implements the identical algorithm, so this is the honest
+"1 CPU core C++" anchor the north star's 10x target refers to).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "bases/s", "vs_baseline": N}
+Progress goes to stderr. Scale via env: BENCH_TARGETS, BENCH_LEN,
+BENCH_COV.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+
+
+def log(*a) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    n_targets = int(os.environ.get("BENCH_TARGETS", "256"))
+    length = int(os.environ.get("BENCH_LEN", "1000"))
+    cov = int(os.environ.get("BENCH_COV", "30"))
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    log(f"bench: platform={platform} devices={len(jax.devices())}")
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.config import DagconConfig
+    from pbdagcon_tpu.io import FastaWriter
+    from pbdagcon_tpu.pipeline import PipelineStats, _run_stream_native, run_stream
+    from pbdagcon_tpu.simulate import NoiseProfile, simulate_targets, to_m5
+
+    if not native.ensure_built():
+        log("FATAL: native engine failed to build")
+        return 1
+
+    # ---- generate workload (excluded from timing) ----
+    t0 = time.time()
+    lines: list[str] = []
+    for _tid, _bb, alns in simulate_targets(
+        1234, n_targets, length, cov, NoiseProfile()
+    ):
+        lines.extend(to_m5(a) for a in alns)
+    text = ("\n".join(lines) + "\n").encode()
+    log(
+        f"bench: generated {n_targets} targets x {length}bp x {cov}x "
+        f"({len(text)/1e6:.1f} MB M5) in {time.time()-t0:.1f}s"
+    )
+
+    backend = "pallas" if platform == "tpu" else "xla"
+    cfg = DagconConfig(
+        min_weight=max(2, cov // 4),
+        min_length=100,
+        threads=os.cpu_count() or 8,
+        backend=backend,
+        batch_targets=128,
+    )
+
+    def run_tpu() -> tuple[float, PipelineStats, str]:
+        stats = PipelineStats()
+        out = io.StringIO()
+        t = time.time()
+        _run_stream_native(
+            io.BytesIO(text), FastaWriter(out), cfg, backend, stats
+        )
+        return time.time() - t, stats, out.getvalue()
+
+    # Warmup (compiles all bucket shapes), then measure steady state.
+    log("bench: warmup (compiling device DP buckets)...")
+    t0 = time.time()
+    _dt, stats, fasta_dev = run_tpu()
+    log(
+        f"bench: warmup done in {time.time()-t0:.1f}s "
+        f"(targets={stats.targets} batches={stats.batches} "
+        f"fallbacks={stats.host_fallbacks})"
+    )
+    best_dt = None
+    for rep in range(2):
+        dt, stats, fasta_dev = run_tpu()
+        log(f"bench: device run {rep}: {dt:.2f}s")
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    device_bases = stats.consensus_bases
+    device_rate = device_bases / best_dt
+
+    # ---- single-core C++ baseline (reference stand-in) ----
+    log("bench: single-core native C++ baseline...")
+    base_dt = None
+    for rep in range(2):
+        with native.NativeEngine(
+            min_weight=cfg.min_weight, min_length=cfg.min_length, threads=1
+        ) as eng:
+            t = time.time()
+            fasta_host = eng.consensus_text(text)
+            dt = time.time() - t
+        log(f"bench: baseline run {rep}: {dt:.2f}s")
+        base_dt = dt if base_dt is None else min(base_dt, dt)
+    base_bases = sum(
+        len(l) for l in fasta_host.splitlines() if not l.startswith(">")
+    )
+    base_rate = base_bases / base_dt
+
+    if fasta_dev != fasta_host:
+        log("FATAL: device FASTA != single-core C++ FASTA (parity broken)")
+        return 1
+    log(
+        f"bench: parity OK ({device_bases} consensus bases). "
+        f"device={device_rate:,.0f} b/s single-core-C++={base_rate:,.0f} b/s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "consensus_bases_per_sec_per_chip",
+                "value": round(device_rate, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(device_rate / base_rate, 3),
+                "platform": platform,
+                "backend": backend,
+                "targets": n_targets,
+                "coverage": cov,
+                "backbone_len": length,
+                "baseline": "native C++ engine, 1 thread (reference stand-in)",
+                "parity": "device FASTA == single-core FASTA",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
