@@ -50,6 +50,8 @@ def dp_scores(
 ) -> jax.Array:
     """Reverse max-plus scan over node index; returns scores [B, V] f32."""
     B, V, W = win_count.shape
+    win_count = win_count.astype(jnp.int32)
+    exit_count = exit_count.astype(jnp.int32)
 
     # Edge scores into exit: exit is backbone/weight-0/coverage-0, so
     # esc = float(count) (SPEC §2.6).
@@ -130,13 +132,18 @@ def choose_layout(
     pileups want W=16, 100-500x pileups want W=64..128)."""
     spans = [_edge_spans(lin)[0] for lin in lins]
     best: tuple[int, int] | None = None
+    best_cost = None
     for W in w_ladder:
         worst = max((int((s > W).sum()) for s in spans), default=0)
         K = next((k for k in k_ladder if k >= worst), None)
         if K is None:
             continue
-        if best is None or W + K < best[0] + best[1]:
-            best = (W, K)
+        # Host->device transfer is the scarce resource (the band tensor
+        # is ~W int16/node); the K register file is compute-only and
+        # cheap per slot. Weight accordingly.
+        cost = 2 * W + K / 8
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (W, K), cost
     if best is None:
         raise LongEdgeOverflow(
             "no (W, K) bucket fits; host fallback required"
@@ -156,9 +163,12 @@ def pad_batch(
     from pbdagcon_tpu.ops.linearize import edge_escores
 
     B = len(lins)
-    win = np.full((B, V, W), -1, dtype=np.int32)
-    exit_c = np.full((B, V), -1, dtype=np.int32)
-    cov = np.zeros((B, V), dtype=np.int32)
+    # int16 wire format: merged edge counts and coverage are bounded by
+    # pileup depth (<< 32767), and halving the band tensor halves the
+    # dominant host->device transfer. Device casts to int32/f32.
+    win = np.full((B, V, W), -1, dtype=np.int16)
+    exit_c = np.full((B, V), -1, dtype=np.int16)
+    cov = np.zeros((B, V), dtype=np.int16)
     uns = np.zeros((B, V), dtype=bool)
     lu = np.full((B, K), -1, dtype=np.int32)
     lw = np.full((B, K), -1, dtype=np.int32)
@@ -167,6 +177,10 @@ def pad_batch(
     for b, lin in enumerate(lins):
         if lin.n > V:
             raise ValueError(f"target {lin.sid}: n={lin.n} > bucket V={V}")
+        if int(lin.cov.max(initial=0)) > 32000:  # int16 wire-format guard
+            raise LongEdgeOverflow(
+                f"target {lin.sid}: coverage exceeds int16 wire format"
+            )
         interior = lin.edge_tgt < lin.n
         u_all = np.repeat(
             np.arange(lin.n, dtype=np.int32), np.diff(lin.edge_off)
@@ -202,19 +216,22 @@ def pad_batch(
     }
 
 
-def batch_scores(
+def submit_batch_scores(
     lins: list[LinearGraph],
     V: int,
     W: int,
     K: int = 32,
     backend: str = "xla",
-) -> np.ndarray:
-    """Run the device DP for a bucket of targets; returns [B, V] f32."""
+) -> jax.Array:
+    """Dispatch the device DP for a bucket asynchronously; returns the
+    (not yet materialized) [B, V] f32 device array. JAX's async dispatch
+    overlaps host packing + transfer of later batches with device
+    compute of earlier ones — materialize with np.asarray when needed."""
     batch = pad_batch(lins, V, W, K)
     if backend == "pallas":
         from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
 
-        scores = dp_scores_pallas(
+        return dp_scores_pallas(
             batch["win_count"],
             batch["exit_count"],
             batch["cov"],
@@ -223,14 +240,23 @@ def batch_scores(
             batch["long_w"],
             batch["long_esc"],
         )
-    else:
-        scores = dp_scores(
-            jnp.asarray(batch["win_count"]),
-            jnp.asarray(batch["exit_count"]),
-            jnp.asarray(batch["cov"]),
-            jnp.asarray(batch["unsup"]),
-            jnp.asarray(batch["long_u"]),
-            jnp.asarray(batch["long_w"]),
-            jnp.asarray(batch["long_esc"]),
-        )
-    return np.asarray(scores)
+    return dp_scores(
+        jnp.asarray(batch["win_count"]),
+        jnp.asarray(batch["exit_count"]),
+        jnp.asarray(batch["cov"]),
+        jnp.asarray(batch["unsup"]),
+        jnp.asarray(batch["long_u"]),
+        jnp.asarray(batch["long_w"]),
+        jnp.asarray(batch["long_esc"]),
+    )
+
+
+def batch_scores(
+    lins: list[LinearGraph],
+    V: int,
+    W: int,
+    K: int = 32,
+    backend: str = "xla",
+) -> np.ndarray:
+    """Run the device DP for a bucket of targets; returns [B, V] f32."""
+    return np.asarray(submit_batch_scores(lins, V, W, K, backend))

@@ -31,7 +31,12 @@ import numpy as np
 from pbdagcon_tpu.config import DagconConfig
 from pbdagcon_tpu.io import FastaWriter, TargetGroup, read_groups
 from pbdagcon_tpu.oracle.graph import CnsResult
-from pbdagcon_tpu.ops.dp import LongEdgeOverflow, batch_scores, choose_layout
+from pbdagcon_tpu.ops.dp import (
+    LongEdgeOverflow,
+    batch_scores,
+    choose_layout,
+    submit_batch_scores,
+)
 from pbdagcon_tpu.ops.linearize import (
     LinearGraph,
     backtrack,
@@ -259,7 +264,11 @@ def _run_stream_native(
             for i, lin in enumerate(lins):
                 V = _bucket_of(lin.n, cfg.v_buckets)
                 buckets.setdefault(V if V is not None else -1, []).append(i)
+            # Submit all device batches first (async dispatch overlaps
+            # host packing + transfer with device compute), then
+            # materialize; host-fallback DPs run while devices work.
             scores: dict[int, object] = {}
+            futures: list[tuple[list[int], object]] = []
             for V, idxs in buckets.items():
                 if V < 0:
                     for i in idxs:  # out-of-bucket: native host DP
@@ -269,19 +278,25 @@ def _run_stream_native(
                 group = [lins[i] for i in idxs]
                 try:
                     W, K = choose_layout(group, w_ladder=cfg.w_buckets)
-                    sc = batch_scores(group, V, W, K, backend=backend)
+                    fut = submit_batch_scores(
+                        group, V, W, K, backend=backend
+                    )
                     stats.batches += 1
-                    for j, i in enumerate(idxs):
+                    futures.append((idxs, fut))
+                    for i in idxs:
                         stats.pad_nodes += V - lins[i].n
                         stats.real_nodes += lins[i].n
-                        full = np.empty(lins[i].n + 1, dtype=np.float32)
-                        full[: lins[i].n] = sc[j, : lins[i].n]
-                        full[lins[i].n] = 0.0
-                        scores[i] = full
                 except LongEdgeOverflow:
                     for i in idxs:
                         stats.host_fallbacks += 1
                         scores[i] = eng.target_scores(i, lins[i].n)
+            for idxs, fut in futures:
+                sc = np.asarray(fut)
+                for j, i in enumerate(idxs):
+                    full = np.empty(lins[i].n + 1, dtype=np.float32)
+                    full[: lins[i].n] = sc[j, : lins[i].n]
+                    full[lins[i].n] = 0.0
+                    scores[i] = full
             for i in range(count):
                 s = scores[i]
                 if len(s) == lins[i].n:  # device slice without exit slot
