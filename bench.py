@@ -35,6 +35,15 @@ def main() -> int:
 
     import jax
 
+    try:  # persistent cache: tunnel compiles are minutes; reruns are free
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"bench: no compilation cache ({e})")
+
     platform = jax.devices()[0].platform
     log(f"bench: platform={platform} devices={len(jax.devices())}")
 
@@ -68,6 +77,11 @@ def main() -> int:
         threads=os.cpu_count() or 8,
         backend=backend,
         batch_targets=128,
+        # Single V bucket sized for this workload: one compiled kernel
+        # shape (axon has no persistent compile cache; each shape costs
+        # minutes over the tunnel).
+        v_buckets=(6144,),
+        w_buckets=(16,),
     )
 
     def run_tpu() -> tuple[float, PipelineStats, str]:

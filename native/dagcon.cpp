@@ -137,11 +137,20 @@ static bool parse_pre(const char* line, const char* end, Alignment& a) {
 
 // -------------------------------------------------- normalization / trim
 
+// Reusable per-thread scratch for normalize_gaps (allocation-free steady
+// state; the normalizer runs once per alignment record).
+struct NormScratch {
+  std::string qn, tn, oq, ot;
+};
+
 // SPEC §1.3: mismatch expansion, right gap-pushing, double-gap removal.
-static void normalize_gaps(Alignment& a) {
+static void normalize_gaps(Alignment& a, NormScratch& ns) {
   const std::string& q = a.qstr;
   const std::string& t = a.tstr;
-  std::string qn, tn;
+  std::string& qn = ns.qn;
+  std::string& tn = ns.tn;
+  qn.clear();
+  tn.clear();
   qn.reserve(q.size() * 2);
   tn.reserve(t.size() * 2);
   for (size_t i = 0; i < q.size(); ++i) {
@@ -183,7 +192,10 @@ static void normalize_gaps(Alignment& a) {
       }
     }
   }
-  std::string oq, ot;
+  std::string& oq = ns.oq;
+  std::string& ot = ns.ot;
+  oq.clear();
+  ot.clear();
   oq.reserve(n);
   ot.reserve(n);
   for (size_t i = 0; i < n; ++i) {
@@ -192,9 +204,14 @@ static void normalize_gaps(Alignment& a) {
       ot.push_back(tn[i]);
     }
   }
-  a.qstr.swap(oq);
-  a.tstr.swap(ot);
+  a.qstr.assign(oq);
+  a.tstr.assign(ot);
   a.recompute_end();
+}
+
+static void normalize_gaps(Alignment& a) {
+  NormScratch ns;
+  normalize_gaps(a, ns);
 }
 
 // SPEC §1.4: trim n aligned query bases off each end.
@@ -235,32 +252,54 @@ struct REdge {
 
 // Backbone-seeded POA DAG (SPEC §2). Creation-ordered adjacency vectors
 // mirror the oracle's insertion-ordered dicts — order is parity-critical.
+//
+// The structure is REUSED across targets (per worker thread): `init`
+// keeps every inner adjacency vector's heap capacity, so steady-state
+// graph building is allocation-free — this is the hottest loop of the
+// whole program (SURVEY.md §3.1) and malloc churn dominated the naive
+// vector-of-vectors version.
 struct Graph {
   int32_t L = 0, enter = 0, exit = 0;
+  int32_t n = 0;  // active node count; arrays below may be larger
   std::vector<uint8_t> base;
   std::vector<int32_t> weight, coverage, anchor;
   std::vector<uint8_t> backbone_f, deleted;
   std::vector<std::vector<Edge>> out_e;
   std::vector<std::vector<REdge>> in_e;
 
+  void ensure(int32_t cap) {
+    int32_t cur = (int32_t)base.size();
+    if (cur >= cap) return;
+    int32_t nc = std::max(cap, cur + cur / 2 + 64);  // geometric growth
+    base.resize(nc);
+    weight.resize(nc);
+    coverage.resize(nc);
+    anchor.resize(nc);
+    backbone_f.resize(nc);
+    deleted.resize(nc);
+    out_e.resize(nc);
+    in_e.resize(nc);
+  }
+
   void init(const std::string& bb) {
     L = (int32_t)bb.size();
     enter = 0;
     exit = L + 1;
-    int32_t n = L + 2;
-    base.resize(n);
+    n = L + 2;
+    ensure(n);
     base[0] = '^';
     for (int32_t p = 0; p < L; ++p) base[p + 1] = (uint8_t)bb[p];
     base[L + 1] = '$';
-    weight.assign(n, 1);
+    for (int32_t v = 0; v < n; ++v) {
+      weight[v] = 1;
+      coverage[v] = 0;
+      backbone_f[v] = 1;
+      anchor[v] = v;
+      deleted[v] = 0;
+      out_e[v].clear();  // keeps capacity
+      in_e[v].clear();
+    }
     weight[0] = weight[L + 1] = 0;
-    coverage.assign(n, 0);
-    backbone_f.assign(n, 1);
-    anchor.resize(n);
-    for (int32_t v = 0; v < n; ++v) anchor[v] = v;
-    deleted.assign(n, 0);
-    out_e.assign(n, {});
-    in_e.assign(n, {});
     for (int32_t p = 0; p <= L; ++p) {
       out_e[p].push_back({p + 1, 0});
       in_e[p + 1].push_back({p, 0});
@@ -268,15 +307,16 @@ struct Graph {
   }
 
   int32_t new_node(uint8_t b, int32_t anc) {
-    int32_t v = (int32_t)base.size();
-    base.push_back(b);
-    weight.push_back(1);
-    coverage.push_back(0);
-    backbone_f.push_back(0);
-    anchor.push_back(anc);
-    deleted.push_back(0);
-    out_e.emplace_back();
-    in_e.emplace_back();
+    int32_t v = n++;
+    ensure(n);
+    base[v] = b;
+    weight[v] = 1;
+    coverage[v] = 0;
+    backbone_f[v] = 0;
+    anchor[v] = anc;
+    deleted[v] = 0;
+    out_e[v].clear();
+    in_e[v].clear();
     return v;
   }
 
@@ -328,8 +368,8 @@ struct Graph {
   // out-degree-1 in-neighbors by base (ascending), merge into the first,
   // recurse on the survivor.
   void merge_nodes() {
-    std::vector<int32_t> remaining(base.size(), 0);
-    for (size_t v = 0; v < base.size(); ++v)
+    std::vector<int32_t> remaining(n, 0);
+    for (int32_t v = 0; v < n; ++v)
       if (!deleted[v]) remaining[v] = (int32_t)in_e[v].size();
     std::deque<int32_t> q;
     q.push_back(enter);
@@ -344,17 +384,59 @@ struct Graph {
   }
 
   void merge_in_nodes(int32_t n) {
-    // Groups precomputed from in_e[n] snapshot, keyed ascending base.
-    std::map<uint8_t, std::vector<int32_t>> groups;
+    // Groups precomputed from in_e[n] snapshot, keyed ascending base
+    // (in-edge order within a group). Allocation-free: candidates are
+    // stable-partitioned by base on the stack (same order as the
+    // oracle's ordered-map grouping).
+    int32_t cand[512];
+    uint8_t cbase[512];
+    int32_t nc = 0;
+    std::vector<int32_t> cand_heap;  // overflow path, rare
+    std::vector<uint8_t> cbase_heap;
+    const int32_t lim = 512;
     for (const REdge& r : in_e[n]) {
-      if (out_e[r.from].size() == 1) groups[base[r.from]].push_back(r.from);
+      if (out_e[r.from].size() == 1) {
+        if (nc < lim) {
+          cand[nc] = r.from;
+          cbase[nc] = base[r.from];
+        } else {
+          if (nc == lim) {
+            cand_heap.assign(cand, cand + lim);
+            cbase_heap.assign(cbase, cbase + lim);
+          }
+          cand_heap.push_back(r.from);
+          cbase_heap.push_back(base[r.from]);
+        }
+        ++nc;
+      }
     }
-    for (auto& kv : groups) {
-      std::vector<int32_t>& nodes = kv.second;
-      if (nodes.size() < 2) continue;
-      int32_t a = nodes[0];
-      for (size_t xi = 1; xi < nodes.size(); ++xi) {
-        int32_t x = nodes[xi];
+    if (nc < 2) return;
+    const int32_t* cp = nc <= lim ? cand : cand_heap.data();
+    const uint8_t* bp = nc <= lim ? cbase : cbase_heap.data();
+    // Distinct bases present, ascending (alphabet is tiny).
+    bool present[256] = {false};
+    for (int32_t i = 0; i < nc; ++i) present[bp[i]] = true;
+    for (int32_t bv = 0; bv < 256; ++bv) {
+      if (!present[bv]) continue;
+      // Group for base bv, in in-edge order.
+      int32_t group[512];
+      std::vector<int32_t> group_heap;
+      int32_t gn = 0;
+      for (int32_t i = 0; i < nc; ++i) {
+        if (bp[i] == (uint8_t)bv) {
+          if (gn < lim) group[gn] = cp[i];
+          else {
+            if (gn == lim) group_heap.assign(group, group + lim);
+            group_heap.push_back(cp[i]);
+          }
+          ++gn;
+        }
+      }
+      if (gn < 2) continue;
+      const int32_t* gp = gn <= lim ? group : group_heap.data();
+      int32_t a = gp[0];
+      for (int32_t xi = 1; xi < gn; ++xi) {
+        int32_t x = gp[xi];
         weight[a] += weight[x];
         // cx = count of x->n (key lookup, parity with the oracle).
         int32_t cx = 0;
@@ -437,7 +519,7 @@ struct Linear {
 // backbone ascending, each gap's merged insertion trie between its
 // flanking backbone nodes.
 static bool linearize(const Graph& g, const std::string& sid, Linear& lin) {
-  size_t n_all = g.base.size();
+  size_t n_all = (size_t)g.n;
   std::vector<int32_t> indeg(n_all, -1);
   size_t alive = 0;
   for (size_t v = 0; v < n_all; ++v) {
@@ -678,15 +760,28 @@ struct Engine {
     }
   }
 
+  // Per-thread reusable state: the graph and scratch buffers keep their
+  // heap capacity across targets, so steady-state building is
+  // allocation-free (this is the program's hot loop, SURVEY.md §3.1).
+  struct Worker {
+    Graph g;
+    NormScratch ns;
+    Alignment a;
+    std::vector<float> score;
+    std::vector<int32_t> path;
+  };
+
   // Build + merge + linearize one group.
-  bool build_one(const Group& grp, Linear& lin) {
+  bool build_one(const Group& grp, Linear& lin, Worker& wk) {
     std::string bb = backbone_of(grp);
     if (bb.empty()) return false;
-    Graph g;
+    Graph& g = wk.g;
     g.init(bb);
-    for (Alignment a : grp.alns) {
+    for (const Alignment& src : grp.alns) {
+      Alignment& a = wk.a;
+      a = src;
       if (trim > 0) trim_aln(a, trim);
-      normalize_gaps(a);
+      normalize_gaps(a, wk.ns);
       if (!a.empty()) {
         if (!g.add_aln(a)) return false;
       }
@@ -695,22 +790,24 @@ struct Engine {
     return linearize(g, grp.sid, lin);
   }
 
-  // Parallel map over ready groups with `fn(group_idx)`.
+  // Parallel map over ready groups with `fn(group_idx, worker)`.
   template <typename F>
   void parallel_groups(size_t count, F fn) {
     int nthreads = std::max(1, std::min<int>(threads, (int)count));
     if (nthreads <= 1) {
-      for (size_t i = 0; i < count; ++i) fn(i);
+      Worker wk;
+      for (size_t i = 0; i < count; ++i) fn(i, wk);
       return;
     }
     std::atomic<size_t> next(0);
     std::vector<std::thread> pool;
     for (int t = 0; t < nthreads; ++t) {
       pool.emplace_back([&]() {
+        Worker wk;
         for (;;) {
           size_t i = next.fetch_add(1);
           if (i >= count) return;
-          fn(i);
+          fn(i, wk);
         }
       });
     }
@@ -721,14 +818,12 @@ struct Engine {
   void consensus_all(std::string& out) {
     size_t count = ready.size();
     std::vector<std::string> results(count);
-    parallel_groups(count, [&](size_t i) {
+    parallel_groups(count, [&](size_t i, Worker& wk) {
       Linear lin;
-      if (!build_one(ready[i], lin)) return;
-      std::vector<float> score;
-      host_scores(lin, score);
-      std::vector<int32_t> path;
-      backtrack(lin, score.data(), path);
-      emit_consensus(lin, path, min_weight, min_length, results[i]);
+      if (!build_one(ready[i], lin, wk)) return;
+      host_scores(lin, wk.score);
+      backtrack(lin, wk.score.data(), wk.path);
+      emit_consensus(lin, wk.path, min_weight, min_length, results[i]);
     });
     for (const std::string& r : results) out += r;
     targets_done += (long)count;
@@ -740,8 +835,8 @@ struct Engine {
     size_t count = ready.size();
     linears.assign(count, Linear());
     std::vector<uint8_t> ok(count, 0);
-    parallel_groups(count, [&](size_t i) {
-      ok[i] = build_one(ready[i], linears[i]) ? 1 : 0;
+    parallel_groups(count, [&](size_t i, Worker& wk) {
+      ok[i] = build_one(ready[i], linears[i], wk) ? 1 : 0;
     });
     // Drop failed groups (rare/malformed), preserving order.
     size_t w = 0;
@@ -871,6 +966,99 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
 
 // Total complete target groups consumed so far (host-mode stats).
 long dagcon_engine_targets(void* h) { return ((Engine*)h)->targets_done; }
+
+// Per-target long-edge counts: out[k] = #interior edges with span > Ws[k].
+int dagcon_long_counts(void* h, int idx, const int32_t* Ws, int nW,
+                       int32_t* out) {
+  Engine* e = (Engine*)h;
+  if (idx < 0 || idx >= (int)e->linears.size()) return -1;
+  const Linear& l = e->linears[idx];
+  for (int k = 0; k < nW; ++k) out[k] = 0;
+  for (int32_t u = 0; u < l.n; ++u) {
+    for (int32_t ei = l.edge_off[u]; ei < l.edge_off[u + 1]; ++ei) {
+      int32_t w = l.edge_tgt[ei];
+      if (w >= l.n) continue;
+      int32_t span = w - u;
+      for (int k = 0; k < nW; ++k)
+        if (span > Ws[k]) ++out[k];
+    }
+  }
+  return 0;
+}
+
+// Pack a bucket batch for the device DP (the host side of SPEC §3.2's
+// padded arrays), threaded over targets. Buffers are caller-allocated:
+//   win [B,V,W] i16 (-1 pad), exit/cov [B,V] i16, unsup [B,V] u8,
+//   long_u/long_w [B,K] i32 (-1 pad), long_esc [B,K] f32 (-inf pad).
+// Returns 0, or b+1 if target b cannot fit (n>V, >K long edges, or
+// coverage beyond int16) — caller falls back.
+int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
+                      int K, int16_t* win, int16_t* exit_c, int16_t* cov,
+                      uint8_t* unsup, int32_t* long_u, int32_t* long_w,
+                      float* long_esc) {
+  Engine* e = (Engine*)h;
+  std::atomic<int> bad(0);
+  e->parallel_groups((size_t)nidx, [&](size_t b, Engine::Worker&) {
+    int idx = idxs[b];
+    if (idx < 0 || idx >= (int)e->linears.size()) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    const Linear& l = e->linears[idx];
+    int16_t* wb = win + b * (size_t)V * W;
+    int16_t* eb = exit_c + b * (size_t)V;
+    int16_t* cb = cov + b * (size_t)V;
+    uint8_t* ub = unsup + b * (size_t)V;
+    int32_t* lub = long_u + b * (size_t)K;
+    int32_t* lwb = long_w + b * (size_t)K;
+    float* leb = long_esc + b * (size_t)K;
+    for (size_t i = 0; i < (size_t)V * W; ++i) wb[i] = -1;
+    for (int i = 0; i < V; ++i) eb[i] = -1;
+    memset(cb, 0, (size_t)V * 2);
+    memset(ub, 0, (size_t)V);
+    for (int k = 0; k < K; ++k) {
+      lub[k] = -1;
+      lwb[k] = -1;
+      leb[k] = -__builtin_inff();
+    }
+    if (l.n > V) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    int nk = 0;
+    for (int32_t u = 0; u < l.n; ++u) {
+      if (l.cov[u] > 32000) {
+        int exp = 0;
+        bad.compare_exchange_strong(exp, (int)b + 1);
+        return;
+      }
+      eb[u] = (int16_t)l.exit_count[u];
+      cb[u] = (int16_t)l.cov[u];
+      ub[u] = l.unsup[u];
+      for (int32_t ei = l.edge_off[u]; ei < l.edge_off[u + 1]; ++ei) {
+        int32_t w = l.edge_tgt[ei];
+        if (w >= l.n) continue;
+        int32_t d = w - u - 1;
+        if (d < W) {
+          wb[(size_t)u * W + d] = (int16_t)l.edge_cnt[ei];
+        } else {
+          if (nk >= K) {
+            int exp = 0;
+            bad.compare_exchange_strong(exp, (int)b + 1);
+            return;
+          }
+          lub[nk] = u;
+          lwb[nk] = w;
+          leb[nk] = escore(l, w, l.edge_cnt[ei]);
+          ++nk;
+        }
+      }
+    }
+  });
+  return bad.load();
+}
 
 // Host-side float32 DP for target idx: fills scores[n+1].
 int dagcon_target_scores(void* h, int idx, float* scores) {

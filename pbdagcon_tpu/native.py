@@ -96,6 +96,16 @@ def _load() -> ctypes.CDLL | None:
     lib.dagcon_target_scores.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p]
     lib.dagcon_engine_targets.restype = ctypes.c_long
     lib.dagcon_engine_targets.argtypes = [ctypes.c_void_p]
+    lib.dagcon_long_counts.restype = ctypes.c_int
+    lib.dagcon_long_counts.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, i32p, ctypes.c_int, i32p,
+    ]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.dagcon_pack_batch.restype = ctypes.c_int
+    lib.dagcon_pack_batch.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i16p, i16p, i16p, u8p, i32p, i32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -258,3 +268,69 @@ class NativeEngine:
     def iter_linears(self, count: int) -> Iterator[LinearGraph]:
         for i in range(count):
             yield self.get_linear(i)
+
+    def metas(self, count: int) -> np.ndarray:
+        """[count, 5] int32: n, span, n_edges, n_enter, backbone_len."""
+        out = np.zeros((count, 5), dtype=np.int32)
+        meta = (ctypes.c_int * 5)()
+        for i in range(count):
+            if self._lib.dagcon_target_meta(self._h, i, meta, None, 0) < 0:
+                raise IndexError(i)
+            out[i] = meta[:]
+        return out
+
+    def long_counts(self, idx: int, ws: tuple[int, ...]) -> np.ndarray:
+        """#interior edges with span > W for each W in `ws`."""
+        wa = np.asarray(ws, dtype=np.int32)
+        out = np.zeros(len(ws), dtype=np.int32)
+        rc = self._lib.dagcon_long_counts(
+            self._h, idx,
+            wa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ws),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise IndexError(idx)
+        return out
+
+    def pack_batch(
+        self, idxs: list[int], V: int, W: int, K: int
+    ) -> dict[str, np.ndarray]:
+        """Threaded C++ packing of a bucket batch for the device DP
+        (same contract as `ops.dp.pad_batch`). Raises LongEdgeOverflow
+        on any target that does not fit."""
+        from pbdagcon_tpu.ops.dp import LongEdgeOverflow
+
+        B = len(idxs)
+        ia = np.asarray(idxs, dtype=np.int32)
+        win = np.empty((B, V, W), dtype=np.int16)
+        exit_c = np.empty((B, V), dtype=np.int16)
+        cov = np.empty((B, V), dtype=np.int16)
+        unsup = np.empty((B, V), dtype=np.uint8)
+        long_u = np.empty((B, K), dtype=np.int32)
+        long_w = np.empty((B, K), dtype=np.int32)
+        long_esc = np.empty((B, K), dtype=np.float32)
+
+        def p(a, typ):
+            return a.ctypes.data_as(ctypes.POINTER(typ))
+
+        rc = self._lib.dagcon_pack_batch(
+            self._h, p(ia, ctypes.c_int32), B, V, W, K,
+            p(win, ctypes.c_int16), p(exit_c, ctypes.c_int16),
+            p(cov, ctypes.c_int16), p(unsup, ctypes.c_uint8),
+            p(long_u, ctypes.c_int32), p(long_w, ctypes.c_int32),
+            p(long_esc, ctypes.c_float),
+        )
+        if rc != 0:
+            raise LongEdgeOverflow(
+                f"target index {idxs[rc - 1]} does not fit (V={V}, W={W}, "
+                f"K={K})"
+            )
+        return {
+            "win_count": win,
+            "exit_count": exit_c,
+            "cov": cov,
+            "unsup": unsup.astype(bool),
+            "long_u": long_u,
+            "long_w": long_w,
+            "long_esc": long_esc,
+        }

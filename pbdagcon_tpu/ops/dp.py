@@ -216,18 +216,9 @@ def pad_batch(
     }
 
 
-def submit_batch_scores(
-    lins: list[LinearGraph],
-    V: int,
-    W: int,
-    K: int = 32,
-    backend: str = "xla",
-) -> jax.Array:
-    """Dispatch the device DP for a bucket asynchronously; returns the
-    (not yet materialized) [B, V] f32 device array. JAX's async dispatch
-    overlaps host packing + transfer of later batches with device
-    compute of earlier ones — materialize with np.asarray when needed."""
-    batch = pad_batch(lins, V, W, K)
+def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
+    """Dispatch the device DP on a packed batch (from `pad_batch` or the
+    native `pack_batch`) asynchronously; materialize with np.asarray."""
     if backend == "pallas":
         from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
 
@@ -249,6 +240,17 @@ def submit_batch_scores(
         jnp.asarray(batch["long_w"]),
         jnp.asarray(batch["long_esc"]),
     )
+
+
+def submit_batch_scores(
+    lins: list[LinearGraph],
+    V: int,
+    W: int,
+    K: int = 32,
+    backend: str = "xla",
+) -> jax.Array:
+    """Pack (Python) + dispatch the device DP for a bucket; async."""
+    return submit_packed_scores(pad_batch(lins, V, W, K), backend)
 
 
 def batch_scores(

@@ -70,7 +70,9 @@ def _dp_kernel(
     def row(j, _):
         r = TV - 1 - j
         i = tile_base + r  # global node index
-        wc = win_ref[pl.ds(r, 1)][0]  # [W, LANES] int32
+        # int16 on the wire; widen before compare (v5e Mosaic has no
+        # 16-bit vector cmp).
+        wc = win_ref[pl.ds(r, 1)][0].astype(jnp.int32)  # [W, LANES]
         esc = jnp.where(
             wc >= 0,
             jnp.where(

@@ -35,7 +35,7 @@ from pbdagcon_tpu.ops.dp import (
     LongEdgeOverflow,
     batch_scores,
     choose_layout,
-    submit_batch_scores,
+    submit_packed_scores,
 )
 from pbdagcon_tpu.ops.linearize import (
     LinearGraph,
@@ -257,54 +257,46 @@ def _run_stream_native(
             count = eng.linearize_text(data, fmt=cfg.fmt, flush=flush)
             if count == 0:
                 continue
-            lins = [eng.get_linear(i) for i in range(count)]
+            metas = eng.metas(count)  # [count, 5]: n, span, ...
+            ns = metas[:, 0]
             stats.targets += count
-            # Bucket by V, batch the DP, emit natively in input order.
+            # Bucket by V, pack in C++ (threaded), dispatch async, emit
+            # natively in input order.
             buckets: dict[int, list[int]] = {}
-            for i, lin in enumerate(lins):
-                V = _bucket_of(lin.n, cfg.v_buckets)
+            for i in range(count):
+                V = _bucket_of(int(ns[i]), cfg.v_buckets)
                 buckets.setdefault(V if V is not None else -1, []).append(i)
-            # Submit all device batches first (async dispatch overlaps
-            # host packing + transfer with device compute), then
-            # materialize; host-fallback DPs run while devices work.
-            scores: dict[int, object] = {}
+            scores: dict[int, np.ndarray] = {}
             futures: list[tuple[list[int], object]] = []
             for V, idxs in buckets.items():
                 if V < 0:
                     for i in idxs:  # out-of-bucket: native host DP
                         stats.host_fallbacks += 1
-                        scores[i] = eng.target_scores(i, lins[i].n)
+                        scores[i] = eng.target_scores(i, int(ns[i]))
                     continue
-                group = [lins[i] for i in idxs]
                 try:
-                    W, K = choose_layout(group, w_ladder=cfg.w_buckets)
-                    fut = submit_batch_scores(
-                        group, V, W, K, backend=backend
-                    )
+                    W, K = _choose_layout_native(eng, idxs, cfg)
+                    batch = eng.pack_batch(idxs, V, W, K)
+                    fut = submit_packed_scores(batch, backend=backend)
                     stats.batches += 1
                     futures.append((idxs, fut))
                     for i in idxs:
-                        stats.pad_nodes += V - lins[i].n
-                        stats.real_nodes += lins[i].n
+                        stats.pad_nodes += V - int(ns[i])
+                        stats.real_nodes += int(ns[i])
                 except LongEdgeOverflow:
                     for i in idxs:
                         stats.host_fallbacks += 1
-                        scores[i] = eng.target_scores(i, lins[i].n)
+                        scores[i] = eng.target_scores(i, int(ns[i]))
             for idxs, fut in futures:
                 sc = np.asarray(fut)
                 for j, i in enumerate(idxs):
-                    full = np.empty(lins[i].n + 1, dtype=np.float32)
-                    full[: lins[i].n] = sc[j, : lins[i].n]
-                    full[lins[i].n] = 0.0
+                    n = int(ns[i])
+                    full = np.empty(n + 1, dtype=np.float32)
+                    full[:n] = sc[j, :n]
+                    full[n] = 0.0
                     scores[i] = full
             for i in range(count):
-                s = scores[i]
-                if len(s) == lins[i].n:  # device slice without exit slot
-                    full = np.empty(lins[i].n + 1, dtype=np.float32)
-                    full[: lins[i].n] = s
-                    full[lins[i].n] = 0.0
-                    s = full
-                text = eng.target_consensus(i, s)
+                text = eng.target_consensus(i, scores[i])
                 if text:
                     out.stream.write(text)
                     stats.fragments += text.count(">")
@@ -316,6 +308,29 @@ def _run_stream_native(
         return stats
     finally:
         eng.close()
+
+
+def _choose_layout_native(eng, idxs: list[int], cfg: DagconConfig):
+    """choose_layout on native long-edge counts (no array export)."""
+    from pbdagcon_tpu.ops.dp import LongEdgeOverflow
+
+    w_ladder = cfg.w_buckets
+    k_ladder = (8, 32, 128, 512, 2048)
+    worst = np.zeros(len(w_ladder), dtype=np.int64)
+    for i in idxs:
+        np.maximum(worst, eng.long_counts(i, w_ladder), out=worst)
+    best = None
+    best_cost = None
+    for wi, W in enumerate(w_ladder):
+        K = next((k for k in k_ladder if k >= worst[wi]), None)
+        if K is None:
+            continue
+        cost = 2 * W + K / 8
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (W, K), cost
+    if best is None:
+        raise LongEdgeOverflow("no (W, K) bucket fits")
+    return best
 
 
 def run_stream(

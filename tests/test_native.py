@@ -143,3 +143,29 @@ def test_native_against_full_pipeline():
     )
     with native.NativeEngine(min_weight=5, min_length=30) as eng:
         assert eng.consensus_text(text.encode()) == buf.getvalue()
+
+
+def test_native_pack_batch_matches_python():
+    from pbdagcon_tpu.ops.dp import pad_batch
+
+    text = _m5_text(18, n_targets=6, cov=20)
+    with native.NativeEngine(min_weight=8, min_length=50) as eng:
+        count = eng.linearize_text(text.encode())
+        lins = [eng.get_linear(i) for i in range(count)]
+        V = 4096
+        W, K = 16, 64
+        py = pad_batch(lins, V, W, K)
+        nat = eng.pack_batch(list(range(count)), V, W, K)
+        for key in py:
+            if key == "n":
+                continue
+            np.testing.assert_array_equal(nat[key], py[key], err_msg=key)
+        # long_counts agrees with python span counting
+        for i, lin in enumerate(lins):
+            u = np.repeat(np.arange(lin.n, dtype=np.int32),
+                          np.diff(lin.edge_off))
+            m = lin.edge_tgt < lin.n
+            spans = (lin.edge_tgt - u)[m]
+            got = eng.long_counts(i, (8, 16, 32))
+            want = [(spans > W_).sum() for W_ in (8, 16, 32)]
+            np.testing.assert_array_equal(got, want)
