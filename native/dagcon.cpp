@@ -132,7 +132,8 @@ static bool parse_pre(const char* line, const char* end, Alignment& a) {
   a.tlen = (int32_t)to_i64(f[4].first, f[4].second);
   a.qstr.assign(f[5].first, f[5].second);
   a.tstr.assign(f[6].first, f[6].second);
-  return a.qstr.size() == a.tstr.size();
+  // Lengths may differ for RAW pairs (the -a re-alignment path).
+  return true;
 }
 
 // -------------------------------------------------- normalization / trim
@@ -237,6 +238,89 @@ static void trim_aln(Alignment& a, int32_t n) {
   a.qstr = q.substr(i, j - i);
   a.tstr = t.substr(i, j - i);
   a.recompute_end();
+}
+
+// -------------------------------------------------------------- aligner
+
+// Banded global pairwise aligner (SPEC §1.5) — the SimpleAligner
+// equivalent (reference `src/cpp/SimpleAligner.cpp` wraps blasr_libcpp's
+// guided aligner, SURVEY.md §2 C8; reconstructed, mount empty). Integer
+// DP; must agree exactly with pbdagcon_tpu/aligner.py (and the batched
+// TPU kernel). Scratch reused per worker.
+struct AlignScratch {
+  std::vector<int32_t> H;  // (m+1) x (n+1), row-major
+  std::string qs, ts;
+};
+
+static const int32_t A_MATCH = 1, A_MISMATCH = -2, A_GAP = -3;
+static const int32_t A_NEG = -(1 << 30);
+
+static void align_pair(const std::string& q, const std::string& t,
+                       std::string& out_q, std::string& out_t,
+                       AlignScratch& as) {
+  int32_t m = (int32_t)q.size(), n = (int32_t)t.size();
+  if (m == 0) {
+    out_q.assign((size_t)n, '-');
+    out_t = t;
+    return;
+  }
+  if (n == 0) {
+    out_q = q;
+    out_t.assign((size_t)m, '-');
+    return;
+  }
+  int64_t bw64 = std::max<int64_t>(64, std::abs((int64_t)m - n) + 32);
+  int32_t bw = (int32_t)bw64;
+  size_t stride = (size_t)n + 1;
+  as.H.assign(((size_t)m + 1) * stride, A_NEG);
+  int32_t* H = as.H.data();
+  for (int32_t j = 0; j <= n; ++j) H[j] = A_GAP * j;
+  for (int32_t i = 0; i <= m; ++i) H[(size_t)i * stride] = A_GAP * i;
+  for (int32_t i = 1; i <= m; ++i) {
+    int32_t center = (int32_t)((int64_t)i * n / m);
+    int32_t lo = std::max(1, center - bw);
+    int32_t hi = std::min(n, center + bw);
+    const int32_t* prev = H + (size_t)(i - 1) * stride;
+    int32_t* row = H + (size_t)i * stride;
+    char qc = q[i - 1];
+    int32_t left = row[lo - 1];
+    for (int32_t j = lo; j <= hi; ++j) {
+      int32_t v = prev[j - 1] + (qc == t[j - 1] ? A_MATCH : A_MISMATCH);
+      int32_t up = prev[j] + A_GAP;
+      if (up > v) v = up;
+      int32_t lf = left + A_GAP;
+      if (lf > v) v = lf;
+      row[j] = v;
+      left = v;
+    }
+  }
+  // Traceback; tie-break diagonal > up (gap in t) > left (gap in q).
+  std::string& qs = as.qs;
+  std::string& ts = as.ts;
+  qs.clear();
+  ts.clear();
+  int32_t i = m, j = n;
+  while (i > 0 || j > 0) {
+    int32_t h = H[(size_t)i * stride + j];
+    if (i > 0 && j > 0 &&
+        h == H[(size_t)(i - 1) * stride + (j - 1)] +
+                 (q[i - 1] == t[j - 1] ? A_MATCH : A_MISMATCH)) {
+      qs.push_back(q[i - 1]);
+      ts.push_back(t[j - 1]);
+      --i;
+      --j;
+    } else if (i > 0 && h == H[(size_t)(i - 1) * stride + j] + A_GAP) {
+      qs.push_back(q[i - 1]);
+      ts.push_back('-');
+      --i;
+    } else {
+      qs.push_back('-');
+      ts.push_back(t[j - 1]);
+      --j;
+    }
+  }
+  out_q.assign(qs.rbegin(), qs.rend());
+  out_t.assign(ts.rbegin(), ts.rend());
 }
 
 // ------------------------------------------------------------------ graph
@@ -711,6 +795,7 @@ static std::string backbone_of(const Group& g) {
 
 struct Engine {
   int32_t min_weight = 8, min_length = 500, trim = 0, threads = 4;
+  int32_t align = 0;  // re-align raw seq pairs (reference `dagcon -a`)
   long targets_done = 0;
   std::string pending_line;           // partial trailing line
   Group pending_group;                // trailing (possibly incomplete) group
@@ -766,7 +851,9 @@ struct Engine {
   struct Worker {
     Graph g;
     NormScratch ns;
+    AlignScratch as;
     Alignment a;
+    std::string aq, at;
     std::vector<float> score;
     std::vector<int32_t> path;
   };
@@ -780,6 +867,14 @@ struct Engine {
     for (const Alignment& src : grp.alns) {
       Alignment& a = wk.a;
       a = src;
+      if (align) {
+        align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
+        a.qstr.swap(wk.aq);
+        a.tstr.swap(wk.at);
+        a.recompute_end();
+      } else if (a.qstr.size() != a.tstr.size()) {
+        continue;  // raw pair without -a: skip record
+      }
       if (trim > 0) trim_aln(a, trim);
       normalize_gaps(a, wk.ns);
       if (!a.empty()) {
@@ -966,6 +1061,28 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
 
 // Total complete target groups consumed so far (host-mode stats).
 long dagcon_engine_targets(void* h) { return ((Engine*)h)->targets_done; }
+
+// Enable/disable re-alignment of raw pairs (reference `dagcon -a`).
+void dagcon_engine_set_align(void* h, int align) {
+  ((Engine*)h)->align = align;
+}
+
+// Standalone pairwise alignment (SPEC §1.5) for tests/tools: returns a
+// malloc'd buffer "qstr\ntstr" (caller frees with dagcon_free).
+int dagcon_align_pair(const char* q, long ql, const char* t, long tl,
+                      char** out, long* out_len) {
+  dagcon::AlignScratch as;
+  std::string qs, ts;
+  dagcon::align_pair(std::string(q, (size_t)ql), std::string(t, (size_t)tl),
+                     qs, ts, as);
+  std::string res = qs + "\n" + ts;
+  char* buf = (char*)malloc(res.size() + 1);
+  memcpy(buf, res.data(), res.size());
+  buf[res.size()] = 0;
+  *out = buf;
+  *out_len = (long)res.size();
+  return 0;
+}
 
 // Per-target long-edge counts: out[k] = #interior edges with span > Ws[k].
 int dagcon_long_counts(void* h, int idx, const int32_t* Ws, int nW,

@@ -79,13 +79,15 @@ def parse_m5(line: str) -> Alignment:
 
 
 def parse_pre(line: str) -> Alignment:
-    """Parse one 'pre' record: qname tname start end tlen qstr tstr. SPEC.md §1.2."""
+    """Parse one 'pre' record: qname tname start end tlen qstr tstr
+    (SPEC.md §1.2). Lengths may differ when the record carries RAW
+    (ungapped) pairs for the `-a` re-alignment path (SPEC §1.5);
+    equal-length is enforced downstream where gapped strings are
+    required."""
     f = line.split()
     if len(f) != 7:
         raise ValueError(f"pre record has {len(f)} fields, expected 7")
     qname, tname, start, end, tlen, qstr, tstr = f
-    if len(qstr) != len(tstr):
-        raise ValueError(f"gapped string length mismatch in record {qname}")
     return Alignment(
         id=qname, sid=tname, tlen=int(tlen), start=int(start),
         end=int(end), qstr=qstr, tstr=tstr,
@@ -111,7 +113,11 @@ def normalize_gaps(aln: Alignment) -> Alignment:
     """
     q = aln.qstr.encode()
     t = aln.tstr.encode()
-    assert len(q) == len(t), "qstr/tstr length mismatch"
+    if len(q) != len(t):
+        raise ValueError(
+            f"record {aln.id}: gapped string length mismatch "
+            "(raw pairs need the -a re-alignment path)"
+        )
 
     qn = bytearray()
     tn = bytearray()

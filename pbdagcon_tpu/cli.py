@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="trim N aligned query bases off both alignment ends",
     )
     p.add_argument(
+        "-a", "--align", action="store_true",
+        help="re-align raw (ungapped) seq pairs before consensus "
+        "(for 'pre' records carrying unaligned sequences)",
+    )
+    p.add_argument(
         "-j", "--threads", type=int, default=4,
         help="host worker threads (native graph build)",
     )
@@ -86,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         min_length=args.min_length,
         threads=args.threads,
         trim=args.trim,
+        align=args.align,
         fmt=args.fmt,
         backend=args.backend,
         batch_targets=args.batch_targets,

@@ -22,6 +22,9 @@ class DagconConfig:
 
     # Input format: "m5" (blasr -m 5) or "pre" (HGAP m4topre records).
     fmt: str = "m5"
+    # Re-align raw (ungapped) q/t pairs before graph building — the
+    # reference `dagcon -a` path over unaligned 'pre' records (SPEC §1.5).
+    align: bool = False
 
     # --- TPU execution knobs ---
     # Bucket ladders for padded shapes (nodes V, successor window W).

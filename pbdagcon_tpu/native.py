@@ -106,12 +106,39 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, i16p, i16p, i16p, u8p, i32p, i32p, f32p,
     ]
+    lib.dagcon_engine_set_align.restype = None
+    lib.dagcon_engine_set_align.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dagcon_align_pair.restype = ctypes.c_int
+    lib.dagcon_align_pair.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        c_char_pp, c_long_p,
+    ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def align_pair_native(q: str, t: str) -> tuple[str, str]:
+    """Native banded global alignment (SPEC §1.5); exact match with
+    `pbdagcon_tpu.aligner.align_pair`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.c_char_p()
+    out_len = ctypes.c_long()
+    qb, tb = q.encode(), t.encode()
+    lib.dagcon_align_pair(
+        qb, len(qb), tb, len(tb), ctypes.byref(out), ctypes.byref(out_len)
+    )
+    try:
+        res = ctypes.string_at(out, out_len.value).decode()
+    finally:
+        lib.dagcon_free(out)
+    qs, ts = res.split("\n", 1)
+    return qs, ts
 
 
 class NativeEngine:
@@ -123,12 +150,15 @@ class NativeEngine:
         min_length: int = 500,
         trim: int = 0,
         threads: int = 4,
+        align: bool = False,
     ):
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable (make -C native)")
         self._lib = lib
         self._h = lib.dagcon_engine_new(min_weight, min_length, trim, threads)
+        if align:
+            lib.dagcon_engine_set_align(self._h, 1)
         self.min_weight = min_weight
         self.min_length = min_length
 

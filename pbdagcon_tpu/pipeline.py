@@ -86,7 +86,12 @@ def linearize_group(
     group: TargetGroup, cfg: DagconConfig
 ) -> LinearGraph:
     """Normalize/trim, build + merge the graph, linearize (host side)."""
-    g = graph_from_group(group.backbone, group.alns, trim=cfg.trim)
+    alns = group.alns
+    if cfg.align:
+        from pbdagcon_tpu.aligner import align_record
+
+        alns = [align_record(a) for a in alns]
+    g = graph_from_group(group.backbone, alns, trim=cfg.trim)
     return linearize(g, sid=group.sid)
 
 
@@ -206,6 +211,7 @@ def _native_engine(cfg: DagconConfig):
         min_length=cfg.min_length,
         trim=cfg.trim,
         threads=cfg.threads,
+        align=cfg.align,
     )
 
 

@@ -173,6 +173,15 @@ def to_pre(aln: Alignment) -> str:
     )
 
 
+def to_pre_raw(aln: Alignment) -> str:
+    """'pre' record with RAW (ungapped) sequences — the `dagcon -a`
+    input form, where the consumer re-aligns each pair (SPEC §1.5)."""
+    return (
+        f"{aln.id} {aln.sid} {aln.start} {aln.end} {aln.tlen} "
+        f"{aln.qstr.replace('-', '')} {aln.tstr.replace('-', '')}"
+    )
+
+
 def write_m5(
     path: str,
     seed: int,
