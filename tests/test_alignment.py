@@ -69,9 +69,13 @@ class TestParsePre:
         assert (a.id, a.sid, a.start, a.end, a.tlen) == ("q7", "t3", 5, 14, 100)
         assert a.qstr == "ACGT-ACGTA"
 
-    def test_length_mismatch(self):
+    def test_length_mismatch_allowed_raw(self):
+        # Raw (ungapped) pairs for the -a path parse fine (SPEC §1.5)...
+        aln = parse_pre("q t 1 4 10 ACGT ACG")
+        assert (aln.qstr, aln.tstr) == ("ACGT", "ACG")
+        # ...but gapped-string consumers reject the mismatch.
         with pytest.raises(ValueError):
-            parse_pre("q t 1 4 10 ACGT ACG")
+            normalize_gaps(aln)
 
 
 class TestNormalizeGaps:
