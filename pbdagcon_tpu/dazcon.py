@@ -1,0 +1,127 @@
+"""dazcon-equivalent frontend: raw overlaps -> re-align -> consensus_one.
+
+The reference `dazcon` (`src/cpp/dazcon.cpp`, SURVEY.md §2 C7 —
+reconstructed, mount empty) reads a DAZZ_DB database plus a `.las`
+overlap file (Gene Myers' bundled C, C9), re-aligns each overlapping
+B-read to the target A-read with blasr_libcpp (C8), and runs the same
+graph consensus, emitting one sequence per target.
+
+This rebuild deliberately swaps the input container: instead of the
+DAZZ_DB binary formats it consumes **reads FASTA + blasr M4 overlaps**
+(the same information; standard text formats). Everything downstream is
+capability-equivalent: per-target hit selection (score-sorted, capped),
+banded re-alignment (SPEC §1.5), graph consensus with the dazcon-style
+single-sequence emission (`consensus_one`, SPEC §2.7).
+
+Flags mirror dazcon's semantics: `-j` threads, `-c` min coverage,
+`-m` min consensus length, `-x` max hits per target.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Iterable, TextIO
+
+from pbdagcon_tpu.aligner import align_record
+from pbdagcon_tpu.alignment import Alignment
+from pbdagcon_tpu.hgap import M4Record, m4_to_pre, parse_m4_stream, read_fasta
+from pbdagcon_tpu.alignment import parse_pre
+from pbdagcon_tpu.ops.linearize import (
+    backtrack,
+    consensus_one_from_path,
+    graph_from_group,
+    host_scores,
+    linearize,
+)
+
+
+def select_hits(
+    records: Iterable[M4Record], max_hits: int = 85
+) -> dict[str, list[M4Record]]:
+    """Per-target hit selection (dazcon `TargetHit` semantics,
+    SURVEY.md §2 C7): group by target, order by ascending blasr score
+    (lower = better; ties keep input order), cap at `max_hits`."""
+    per_target: dict[str, list[tuple[int, int, M4Record]]] = {}
+    for i, r in enumerate(records):
+        if r.qname == r.tname:
+            continue
+        per_target.setdefault(r.tname, []).append((r.score, i, r))
+    out: dict[str, list[M4Record]] = {}
+    for tname, hits in per_target.items():
+        hits.sort(key=lambda t: (t[0], t[1]))
+        out[tname] = [r for _s, _i, r in hits[:max_hits]]
+    return out
+
+
+def consensus_one_target(
+    tname: str,
+    tseq: str,
+    hits: list[M4Record],
+    reads: dict[str, str],
+    min_weight: int = 8,
+) -> str:
+    """Re-align hits to the target and emit the dazcon-style single
+    consensus string (longest kept run)."""
+    pre_lines = m4_to_pre(hits, reads)
+    alns: list[Alignment] = []
+    for line in pre_lines:
+        aln = parse_pre(line)
+        alns.append(align_record(aln))
+    g = graph_from_group(tseq, alns)
+    lin = linearize(g, sid=tname)
+    path = backtrack(lin, host_scores(lin))
+    return consensus_one_from_path(lin, path, min_weight)
+
+
+def run_dazcon(
+    m4_stream: TextIO | Iterable[str],
+    reads: dict[str, str],
+    out: TextIO,
+    min_weight: int = 8,
+    min_length: int = 500,
+    max_hits: int = 85,
+    min_coverage_hits: int = 2,
+) -> int:
+    """Full dazcon-equivalent flow; returns number of sequences emitted."""
+    per_target = select_hits(parse_m4_stream(m4_stream), max_hits=max_hits)
+    emitted = 0
+    for tname in sorted(per_target):
+        tseq = reads.get(tname)
+        if tseq is None or len(per_target[tname]) < min_coverage_hits:
+            continue
+        cns = consensus_one_target(
+            tname, tseq, per_target[tname], reads, min_weight
+        )
+        if len(cns) >= min_length:
+            out.write(f">{tname}\n{cns}\n")
+            emitted += 1
+    return emitted
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tpu-dazcon",
+        description="dazcon-equivalent consensus: reads FASTA + M4 "
+        "overlaps in, one consensus FASTA record per target out",
+    )
+    p.add_argument("m4", help="blasr -m 4 overlaps ('-' = stdin)")
+    p.add_argument("reads", help="reads FASTA (A- and B-reads)")
+    p.add_argument("-c", "--min-coverage", type=int, default=8)
+    p.add_argument("-m", "--min-length", type=int, default=500)
+    p.add_argument("-x", "--max-hits", type=int, default=85)
+    args = p.parse_args(argv)
+    with open(args.reads) as f:
+        reads = read_fasta(f)
+    stream = sys.stdin if args.m4 == "-" else open(args.m4)
+    run_dazcon(
+        stream, reads, sys.stdout,
+        min_weight=args.min_coverage,
+        min_length=args.min_length,
+        max_hits=args.max_hits,
+    )
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
