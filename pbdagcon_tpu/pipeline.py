@@ -198,6 +198,36 @@ def run_pipeline(
     yield from flush()
 
 
+def device_align_stream(
+    stream: TextIO | Iterable[str],
+    fmt: str = "pre",
+    batch_records: int = 512,
+) -> Iterator[str]:
+    """Re-align raw record pairs on device in batches; yields gapped
+    'pre' lines (order preserved). The `-a` hot stage moved to the TPU
+    (ops/align_tpu.py); downstream consumers run without -a."""
+    from pbdagcon_tpu.alignment import parse_records
+    from pbdagcon_tpu.ops.align_tpu import align_batch
+    from pbdagcon_tpu.simulate import to_pre
+
+    buf: list = []
+
+    def flush(buf: list) -> Iterator[str]:
+        gapped = align_batch([(a.qstr, a.tstr) for a in buf])
+        for a, (gq, gt) in zip(buf, gapped):
+            a.qstr, a.tstr = gq, gt
+            a.recompute_end()
+            yield to_pre(a) + "\n"
+
+    for aln in parse_records(stream, fmt):
+        buf.append(aln)
+        if len(buf) >= batch_records:
+            yield from flush(buf)
+            buf = []
+    if buf:
+        yield from flush(buf)
+
+
 def _native_engine(cfg: DagconConfig):
     """Native C++ engine if requested and built, else None."""
     if not cfg.use_native:
@@ -347,6 +377,11 @@ def run_stream(
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
     stats = PipelineStats()
     backend = resolve_backend(cfg)
+    if cfg.align and backend in ("xla", "pallas") and cfg.fmt == "pre":
+        # Device re-alignment: transform the raw stream up front, then
+        # run the rest of the pipeline on gapped records without -a.
+        stream = device_align_stream(stream, cfg.fmt)
+        cfg = dataclasses.replace(cfg, align=False)
     used_native = False
     if cfg.use_native:
         from pbdagcon_tpu import native as _native
