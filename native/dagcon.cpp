@@ -925,24 +925,36 @@ struct Engine {
     ready.clear();
   }
 
-  // TPU-loader mode: linearize all ready groups, keep arrays for export.
-  void linearize_all() {
+  // TPU-loader mode: linearize all ready groups, APPENDING to the
+  // retained list (callers clear explicitly). Retention lets the
+  // pipeline overlap host linearization of the next chunk with device
+  // DP + emission of the previous one. Returns #appended.
+  int linearize_all() {
     size_t count = ready.size();
-    linears.assign(count, Linear());
+    size_t base = linears.size();
+    linears.resize(base + count);
     std::vector<uint8_t> ok(count, 0);
     parallel_groups(count, [&](size_t i, Worker& wk) {
-      ok[i] = build_one(ready[i], linears[i], wk) ? 1 : 0;
+      ok[i] = build_one(ready[i], linears[base + i], wk) ? 1 : 0;
     });
     // Drop failed groups (rare/malformed), preserving order.
-    size_t w = 0;
+    size_t w = base;
     for (size_t i = 0; i < count; ++i) {
       if (ok[i]) {
-        if (w != i) linears[w] = std::move(linears[i]);
+        if (w != base + i) linears[w] = std::move(linears[base + i]);
         ++w;
       }
     }
     linears.resize(w);
     ready.clear();
+    return (int)(w - base);
+  }
+
+  // Release exported targets with index < upto (shrinks from the front).
+  void clear_linears(int upto) {
+    if (upto <= 0) return;
+    size_t u = std::min(linears.size(), (size_t)upto);
+    linears.erase(linears.begin(), linears.begin() + u);
   }
 };
 
@@ -986,13 +998,20 @@ int dagcon_consensus_text(void* h, const char* text, long len, int fmt,
 void dagcon_free(char* p) { free(p); }
 
 // TPU-loader mode: parse + build + merge + linearize complete groups.
-// Returns number of targets now exported (until the next call).
+// Appends to the retained target list; returns the number APPENDED.
+// Target indices are positions in the retained list; use
+// dagcon_clear_linears to release emitted targets from the front
+// (subsequent indices shift down).
 int dagcon_linearize_text(void* h, const char* text, long len, int fmt,
                           int flush) {
   Engine* e = (Engine*)h;
   e->feed(text, (size_t)len, fmt, flush != 0);
-  e->linearize_all();
-  return (int)e->linears.size();
+  return e->linearize_all();
+}
+
+// Drop the first `upto` retained targets (after emission).
+void dagcon_clear_linears(void* h, int upto) {
+  ((Engine*)h)->clear_linears(upto);
 }
 
 // meta[0]=n, meta[1]=span, meta[2]=n_edges, meta[3]=n_enter,

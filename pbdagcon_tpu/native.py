@@ -106,6 +106,8 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, i16p, i16p, i16p, u8p, i32p, i32p, f32p,
     ]
+    lib.dagcon_clear_linears.restype = None
+    lib.dagcon_clear_linears.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_engine_set_align.restype = None
     lib.dagcon_engine_set_align.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_align_pair.restype = ctypes.c_int
@@ -207,12 +209,17 @@ class NativeEngine:
     def linearize_text(
         self, text: bytes, fmt: str = "m5", flush: bool = True
     ) -> int:
-        """Parse + build + merge + linearize complete groups; returns the
-        number of targets now exported."""
+        """Parse + build + merge + linearize complete groups; APPENDS to
+        the retained target list and returns the number appended. Use
+        `clear_linears(upto)` to release emitted targets from the front
+        (later indices shift down by `upto`)."""
         return self._lib.dagcon_linearize_text(
             self._h, text, len(text), 0 if fmt == "m5" else 1,
             1 if flush else 0,
         )
+
+    def clear_linears(self, upto: int) -> None:
+        self._lib.dagcon_clear_linears(self._h, upto)
 
     def get_linear(self, idx: int) -> LinearGraph:
         """Export target `idx` as a `LinearGraph` (CSR -> lists)."""
@@ -299,13 +306,19 @@ class NativeEngine:
         for i in range(count):
             yield self.get_linear(i)
 
-    def metas(self, count: int) -> np.ndarray:
-        """[count, 5] int32: n, span, n_edges, n_enter, backbone_len."""
+    def metas(self, count: int, offset: int = 0) -> np.ndarray:
+        """[count, 5] int32: n, span, n_edges, n_enter, backbone_len for
+        retained targets offset..offset+count-1."""
         out = np.zeros((count, 5), dtype=np.int32)
         meta = (ctypes.c_int * 5)()
         for i in range(count):
-            if self._lib.dagcon_target_meta(self._h, i, meta, None, 0) < 0:
-                raise IndexError(i)
+            if (
+                self._lib.dagcon_target_meta(
+                    self._h, offset + i, meta, None, 0
+                )
+                < 0
+            ):
+                raise IndexError(offset + i)
             out[i] = meta[:]
         return out
 

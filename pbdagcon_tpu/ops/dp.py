@@ -216,9 +216,35 @@ def pad_batch(
     }
 
 
+_B_LADDER = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _pad_b(batch: dict) -> dict:
+    """Pad the batch dimension up to a ladder size so repeated dispatches
+    share compiled shapes (row padding: no edges, scores ignored)."""
+    B = batch["win_count"].shape[0]
+    Bp = next((b for b in _B_LADDER if b >= B), B)
+    if Bp == B:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k == "n":
+            out[k] = v
+            continue
+        pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
+        if k in ("win_count", "exit_count", "long_u", "long_w"):
+            pad[:] = -1
+        elif k == "long_esc":
+            pad[:] = NEG_INF
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
 def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
     """Dispatch the device DP on a packed batch (from `pad_batch` or the
-    native `pack_batch`) asynchronously; materialize with np.asarray."""
+    native `pack_batch`) asynchronously; materialize with np.asarray.
+    The batch dim may come back padded — callers index rows 0..B-1."""
+    batch = _pad_b(batch)
     if backend == "pallas":
         from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
 
@@ -261,4 +287,4 @@ def batch_scores(
     backend: str = "xla",
 ) -> np.ndarray:
     """Run the device DP for a bucket of targets; returns [B, V] f32."""
-    return np.asarray(submit_batch_scores(lins, V, W, K, backend))
+    return np.asarray(submit_batch_scores(lins, V, W, K, backend))[: len(lins)]

@@ -273,8 +273,17 @@ def _run_stream_native(
                     break
                 yield buf.encode() if isinstance(buf, str) else buf, False
         else:
+            acc: list[bytes] = []
+            size = 0
             for line in stream:
-                yield line.encode(), False
+                b = line.encode() if isinstance(line, str) else line
+                acc.append(b)
+                size += len(b)
+                if size >= chunk_bytes:
+                    yield b"".join(acc), False
+                    acc, size = [], 0
+            if acc:
+                yield b"".join(acc), False
         yield b"", True
 
     try:
@@ -291,15 +300,13 @@ def _run_stream_native(
                     )
             stats.targets = eng.targets_done
             return stats
-        for data, flush in chunks():
-            count = eng.linearize_text(data, fmt=cfg.fmt, flush=flush)
-            if count == 0:
-                continue
-            metas = eng.metas(count)  # [count, 5]: n, span, ...
+        # Chunk pipelining: while the device computes chunk k's DP (and
+        # Python emits it), the engine has already linearized chunk k+1
+        # (graph building overlaps device work via async dispatch). The
+        # engine retains exported targets until `clear_linears`.
+        def submit_chunk(offset: int, count: int) -> dict:
+            metas = eng.metas(count, offset=offset)
             ns = metas[:, 0]
-            stats.targets += count
-            # Bucket by V, pack in C++ (threaded), dispatch async, emit
-            # natively in input order.
             buckets: dict[int, list[int]] = {}
             for i in range(count):
                 V = _bucket_of(int(ns[i]), cfg.v_buckets)
@@ -310,22 +317,39 @@ def _run_stream_native(
                 if V < 0:
                     for i in idxs:  # out-of-bucket: native host DP
                         stats.host_fallbacks += 1
-                        scores[i] = eng.target_scores(i, int(ns[i]))
+                        scores[i] = eng.target_scores(offset + i, int(ns[i]))
                     continue
+                abs_idxs = [offset + i for i in idxs]
                 try:
-                    W, K = _choose_layout_native(eng, idxs, cfg)
-                    batch = eng.pack_batch(idxs, V, W, K)
-                    fut = submit_packed_scores(batch, backend=backend)
-                    stats.batches += 1
-                    futures.append((idxs, fut))
+                    W, K = _choose_layout_native(eng, abs_idxs, cfg)
+                    for j0 in range(0, len(idxs), cfg.batch_targets):
+                        part = idxs[j0 : j0 + cfg.batch_targets]
+                        batch = eng.pack_batch(
+                            [offset + i for i in part], V, W, K
+                        )
+                        fut = submit_packed_scores(batch, backend=backend)
+                        stats.batches += 1
+                        futures.append((part, fut))
                     for i in idxs:
                         stats.pad_nodes += V - int(ns[i])
                         stats.real_nodes += int(ns[i])
                 except LongEdgeOverflow:
                     for i in idxs:
                         stats.host_fallbacks += 1
-                        scores[i] = eng.target_scores(i, int(ns[i]))
-            for idxs, fut in futures:
+                        scores[i] = eng.target_scores(offset + i, int(ns[i]))
+            return {
+                "count": count,
+                "ns": ns,
+                "scores": scores,
+                "futures": futures,
+            }
+
+        def emit_chunk(work: dict) -> None:
+            # The chunk's targets sit at retained indices 0..count-1 by
+            # the time we emit (previous chunks already cleared).
+            ns = work["ns"]
+            scores = work["scores"]
+            for idxs, fut in work["futures"]:
                 sc = np.asarray(fut)
                 for j, i in enumerate(idxs):
                     n = int(ns[i])
@@ -333,7 +357,7 @@ def _run_stream_native(
                     full[:n] = sc[j, :n]
                     full[n] = 0.0
                     scores[i] = full
-            for i in range(count):
+            for i in range(work["count"]):
                 text = eng.target_consensus(i, scores[i])
                 if text:
                     out.stream.write(text)
@@ -343,6 +367,21 @@ def _run_stream_native(
                         for l in text.splitlines()
                         if not l.startswith(">")
                     )
+            eng.clear_linears(work["count"])
+
+        pending: dict | None = None
+        for data, flush in chunks():
+            appended = eng.linearize_text(data, fmt=cfg.fmt, flush=flush)
+            new_work = None
+            if appended:
+                stats.targets += appended
+                offset = pending["count"] if pending else 0
+                new_work = submit_chunk(offset, appended)
+            if pending is not None:
+                emit_chunk(pending)
+            pending = new_work
+        if pending is not None:
+            emit_chunk(pending)
         return stats
     finally:
         eng.close()
