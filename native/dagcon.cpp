@@ -22,6 +22,7 @@
 #include <map>
 #include <queue>
 #include <string>
+#include <mutex>
 #include <thread>
 #include <tuple>
 #include <vector>
@@ -801,6 +802,8 @@ struct Engine {
   Group pending_group;                // trailing (possibly incomplete) group
   std::vector<Group> ready;           // complete groups awaiting processing
   std::vector<Linear> linears;        // results of linearize_text
+  std::mutex linears_mu;              // guards `linears` (producer thread
+                                      // appends while consumer reads/clears)
   std::string error;
 
   void feed(const char* text, size_t len, int fmt, bool flush) {
@@ -931,28 +934,28 @@ struct Engine {
   // DP + emission of the previous one. Returns #appended.
   int linearize_all() {
     size_t count = ready.size();
-    size_t base = linears.size();
-    linears.resize(base + count);
+    std::vector<Linear> built(count);
     std::vector<uint8_t> ok(count, 0);
     parallel_groups(count, [&](size_t i, Worker& wk) {
-      ok[i] = build_one(ready[i], linears[base + i], wk) ? 1 : 0;
+      ok[i] = build_one(ready[i], built[i], wk) ? 1 : 0;
     });
-    // Drop failed groups (rare/malformed), preserving order.
-    size_t w = base;
+    // Splice successes into the retained list under the lock.
+    std::lock_guard<std::mutex> lk(linears_mu);
+    size_t appended = 0;
     for (size_t i = 0; i < count; ++i) {
       if (ok[i]) {
-        if (w != base + i) linears[w] = std::move(linears[base + i]);
-        ++w;
+        linears.push_back(std::move(built[i]));
+        ++appended;
       }
     }
-    linears.resize(w);
     ready.clear();
-    return (int)(w - base);
+    return (int)appended;
   }
 
   // Release exported targets with index < upto (shrinks from the front).
   void clear_linears(int upto) {
     if (upto <= 0) return;
+    std::lock_guard<std::mutex> lk(linears_mu);
     size_t u = std::min(linears.size(), (size_t)upto);
     linears.erase(linears.begin(), linears.begin() + u);
   }
@@ -1019,6 +1022,7 @@ void dagcon_clear_linears(void* h, int upto) {
 int dagcon_target_meta(void* h, int idx, int* meta, char* sid_buf,
                        int sid_cap) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->linears.size()) return -1;
   const Linear& l = e->linears[idx];
   meta[0] = l.n;
@@ -1042,6 +1046,7 @@ int dagcon_target_arrays(void* h, int idx, uint8_t* base, int32_t* weight,
                          int32_t* edge_tgt, int32_t* edge_cnt,
                          int32_t* enter_tgt, int32_t* enter_cnt) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->linears.size()) return -1;
   const Linear& l = e->linears[idx];
   memcpy(base, l.base.data(), l.base.size());
@@ -1064,6 +1069,7 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
                             int min_weight, int min_length, char** out,
                             long* out_len) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->linears.size()) return -1;
   const Linear& l = e->linears[idx];
   std::vector<int32_t> path;
@@ -1107,6 +1113,7 @@ int dagcon_align_pair(const char* q, long ql, const char* t, long tl,
 int dagcon_long_counts(void* h, int idx, const int32_t* Ws, int nW,
                        int32_t* out) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->linears.size()) return -1;
   const Linear& l = e->linears[idx];
   for (int k = 0; k < nW; ++k) out[k] = 0;
@@ -1133,6 +1140,7 @@ int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
                       uint8_t* unsup, int32_t* long_u, int32_t* long_w,
                       float* long_esc) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   std::atomic<int> bad(0);
   e->parallel_groups((size_t)nidx, [&](size_t b, Engine::Worker&) {
     int idx = idxs[b];
@@ -1199,6 +1207,7 @@ int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
 // Host-side float32 DP for target idx: fills scores[n+1].
 int dagcon_target_scores(void* h, int idx, float* scores) {
   Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->linears.size()) return -1;
   std::vector<float> s;
   dagcon::host_scores(e->linears[idx], s);

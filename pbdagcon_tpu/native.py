@@ -336,22 +336,24 @@ class NativeEngine:
         return out
 
     def pack_batch(
-        self, idxs: list[int], V: int, W: int, K: int
+        self, idxs: list[int], V: int, W: int, K: int, b_pad: int | None = None
     ) -> dict[str, np.ndarray]:
         """Threaded C++ packing of a bucket batch for the device DP
         (same contract as `ops.dp.pad_batch`). Raises LongEdgeOverflow
-        on any target that does not fit."""
+        on any target that does not fit. `b_pad` pads the batch dim at
+        allocation time (rows beyond len(idxs) stay empty: no edges)."""
         from pbdagcon_tpu.ops.dp import LongEdgeOverflow
 
         B = len(idxs)
+        Bp = max(b_pad or B, B)
         ia = np.asarray(idxs, dtype=np.int32)
-        win = np.empty((B, V, W), dtype=np.int16)
-        exit_c = np.empty((B, V), dtype=np.int16)
-        cov = np.empty((B, V), dtype=np.int16)
-        unsup = np.empty((B, V), dtype=np.uint8)
-        long_u = np.empty((B, K), dtype=np.int32)
-        long_w = np.empty((B, K), dtype=np.int32)
-        long_esc = np.empty((B, K), dtype=np.float32)
+        win = np.full((Bp, V, W), -1, dtype=np.int16)
+        exit_c = np.full((Bp, V), -1, dtype=np.int16)
+        cov = np.zeros((Bp, V), dtype=np.int16)
+        unsup = np.zeros((Bp, V), dtype=np.uint8)
+        long_u = np.full((Bp, K), -1, dtype=np.int32)
+        long_w = np.full((Bp, K), -1, dtype=np.int32)
+        long_esc = np.full((Bp, K), -np.inf, dtype=np.float32)
 
         def p(a, typ):
             return a.ctypes.data_as(ctypes.POINTER(typ))

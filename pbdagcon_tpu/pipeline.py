@@ -321,11 +321,17 @@ def _run_stream_native(
                     continue
                 abs_idxs = [offset + i for i in idxs]
                 try:
+                    from pbdagcon_tpu.ops.dp import _B_LADDER
+
                     W, K = _choose_layout_native(eng, abs_idxs, cfg)
                     for j0 in range(0, len(idxs), cfg.batch_targets):
                         part = idxs[j0 : j0 + cfg.batch_targets]
+                        b_pad = next(
+                            (b for b in _B_LADDER if b >= len(part)),
+                            len(part),
+                        )
                         batch = eng.pack_batch(
-                            [offset + i for i in part], V, W, K
+                            [offset + i for i in part], V, W, K, b_pad=b_pad
                         )
                         fut = submit_packed_scores(batch, backend=backend)
                         stats.batches += 1
@@ -369,19 +375,57 @@ def _run_stream_native(
                     )
             eng.clear_linears(work["count"])
 
+        # Producer thread runs the C++ parse/build/linearize for chunk
+        # k+1 (ctypes releases the GIL) while this thread submits chunk
+        # k's DP, materializes k-1's scores and emits. The semaphore
+        # caps retention at two chunks so index bookkeeping stays
+        # simple: at submit time, exactly `pending["count"]` earlier
+        # targets are retained.
+        import queue as _queue
+        import threading
+
+        slots = threading.Semaphore(2)
+        q: "_queue.Queue[object]" = _queue.Queue()
+        SENTINEL = object()
+        producer_err: list[BaseException] = []
+
+        def producer() -> None:
+            try:
+                for data, flush in chunks():
+                    slots.acquire()
+                    appended = eng.linearize_text(
+                        data, fmt=cfg.fmt, flush=flush
+                    )
+                    if appended:
+                        q.put(appended)
+                    else:
+                        slots.release()
+            except BaseException as e:  # pragma: no cover
+                producer_err.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
         pending: dict | None = None
-        for data, flush in chunks():
-            appended = eng.linearize_text(data, fmt=cfg.fmt, flush=flush)
-            new_work = None
-            if appended:
-                stats.targets += appended
-                offset = pending["count"] if pending else 0
-                new_work = submit_chunk(offset, appended)
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            appended = int(item)  # type: ignore[arg-type]
+            stats.targets += appended
+            offset = pending["count"] if pending else 0
+            new_work = submit_chunk(offset, appended)
             if pending is not None:
                 emit_chunk(pending)
+                slots.release()
             pending = new_work
         if pending is not None:
             emit_chunk(pending)
+            slots.release()
+        t.join()
+        if producer_err:
+            raise producer_err[0]
         return stats
     finally:
         eng.close()
