@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--backend",
-        choices=("auto", "xla", "pallas", "host"),
+        choices=("auto", "xla", "blocked", "pallas", "host"),
         default="auto",
         help="consensus DP backend",
     )

@@ -33,9 +33,10 @@ class DagconConfig:
     # Max targets per device batch (per V-bucket batches are formed up to
     # this size before dispatch).
     batch_targets: int = 128
-    # Execution backend for the consensus DP: "xla", "pallas", "host",
-    # or "auto" (pallas on TPU, xla elsewhere, host fallback for
-    # out-of-bucket targets always).
+    # Execution backend for the consensus DP: "xla" (sequential scan),
+    # "blocked" (max-plus blocked solve, sqrt(V) depth, guarded exact),
+    # "pallas", "host", or "auto"; host fallback for out-of-bucket
+    # targets always.
     backend: str = "auto"
     # Use the native C++ loader/graph engine when available.
     use_native: bool = True
@@ -43,7 +44,7 @@ class DagconConfig:
     def __post_init__(self) -> None:
         if self.fmt not in ("m5", "pre"):
             raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")
-        if self.backend not in ("auto", "xla", "pallas", "host"):
+        if self.backend not in ("auto", "xla", "blocked", "pallas", "host"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.min_weight < 0 or self.min_length < 0 or self.trim < 0:
             raise ValueError("min_weight/min_length/trim must be >= 0")

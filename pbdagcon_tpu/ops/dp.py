@@ -240,11 +240,57 @@ def _pad_b(batch: dict) -> dict:
     return out
 
 
+class _BlockedFuture:
+    """Async result of the blocked DP; np.asarray() materializes it and
+    transparently re-runs unconverged rows through the sequential scan
+    (exactness is never sacrificed)."""
+
+    def __init__(self, scores, unconv, args):
+        self._scores = scores
+        self._unconv = unconv
+        self._args = args
+
+    def __array__(self, dtype=None, copy=None):
+        s = np.asarray(self._scores)
+        u = np.asarray(self._unconv)
+        if u.any():
+            seq = np.asarray(dp_scores(*self._args))
+            s = s.copy()
+            s[u] = seq[u]
+        return s if dtype is None else s.astype(dtype)
+
+
 def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
     """Dispatch the device DP on a packed batch (from `pad_batch` or the
     native `pack_batch`) asynchronously; materialize with np.asarray.
-    The batch dim may come back padded — callers index rows 0..B-1."""
+    The batch dim may come back padded — callers index rows 0..B-1.
+
+    Backends: "xla" sequential scan; "blocked" max-plus blocked solve
+    (sqrt(V) depth) with a bit-exactness guard — falls back to the scan
+    when path sums could round (see ops/dp_blocked.py) or when a row's
+    long-edge iteration fails to converge; "pallas" handwritten kernel.
+    """
     batch = _pad_b(batch)
+    if backend == "blocked":
+        from pbdagcon_tpu.ops.dp_blocked import blocked_safe, dp_scores_blocked
+
+        V = batch["win_count"].shape[1]
+        max_esc = max(
+            float(np.abs(batch["cov"]).max(initial=0)) * 0.5
+            + float(batch["win_count"].max(initial=0)),
+            10.0,
+        )
+        if V % 64 == 0 and blocked_safe(max_esc, V):
+            args = tuple(
+                jnp.asarray(batch[k])
+                for k in (
+                    "win_count", "exit_count", "cov", "unsup",
+                    "long_u", "long_w", "long_esc",
+                )
+            )
+            s, unconv = dp_scores_blocked(*args)
+            return _BlockedFuture(s, unconv, args)  # type: ignore[return-value]
+        backend = "xla"
     if backend == "pallas":
         from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
 

@@ -1,0 +1,82 @@
+"""Blocked max-plus DP parity: bitwise equal to the sequential scan and
+the host oracle on real pileups (including long-edge Kleene iteration)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pbdagcon_tpu.alignment import normalize_gaps
+from pbdagcon_tpu.oracle.graph import AlnGraph
+from pbdagcon_tpu.ops.dp import choose_layout, pad_batch
+from pbdagcon_tpu.ops.dp_blocked import blocked_safe, dp_scores_blocked
+from pbdagcon_tpu.ops.linearize import backtrack, host_scores, linearize
+from pbdagcon_tpu.simulate import NoiseProfile, simulate_pileup
+
+
+def _lins(seeds, length=150, cov=20, noise=None):
+    out = []
+    for seed in seeds:
+        rng = random.Random(seed)
+        backbone, alns = simulate_pileup(
+            rng, f"blk{seed}", length, cov, noise or NoiseProfile()
+        )
+        g = AlnGraph(backbone)
+        for a in alns:
+            g.add_aln(normalize_gaps(a))
+        g.merge_nodes()
+        out.append(linearize(g, sid=f"blk{seed}"))
+    return out
+
+
+def _run_blocked(lins, V, L=64):
+    W, K = choose_layout(lins)
+    b = pad_batch(lins, V, W, K)
+    s, unconv = dp_scores_blocked(
+        b["win_count"], b["exit_count"], b["cov"], b["unsup"],
+        b["long_u"], b["long_w"], b["long_esc"], L=L,
+    )
+    return np.asarray(s), np.asarray(unconv)
+
+
+@pytest.mark.parametrize("seeds,length,cov,noise", [
+    (range(4), 150, 20, None),
+    (range(4, 6), 120, 60,
+     NoiseProfile(sub=0.04, ins=0.18, dele=0.09, max_ins_run=4)),
+])
+def test_blocked_matches_host_bitwise(seeds, length, cov, noise):
+    lins = _lins(seeds, length, cov, noise)
+    V = 1024 if max(l.n for l in lins) <= 1024 else 2048
+    assert all(
+        blocked_safe(float(np.abs(l.cov).max(initial=1)), V) for l in lins
+    )
+    scores, unconv = _run_blocked(lins, V)
+    for i, lin in enumerate(lins):
+        hs = host_scores(lin)
+        if unconv[i]:
+            continue  # would fall back; must not happen below
+        np.testing.assert_array_equal(scores[i, : lin.n], hs)
+        assert backtrack(lin, scores[i, : lin.n]) == backtrack(lin, hs)
+    assert not unconv.any(), "expected convergence on these pileups"
+
+
+def test_blocked_long_edge_iteration_converges():
+    """High-depth noisy pileups have long edges; iteration must still
+    produce bitwise-exact scores for converged rows."""
+    lins = _lins(
+        [50, 51], length=100, cov=80,
+        noise=NoiseProfile(sub=0.04, ins=0.18, dele=0.09, max_ins_run=4),
+    )
+    V = 2048
+    scores, unconv = _run_blocked(lins, V)
+    for i, lin in enumerate(lins):
+        if not unconv[i]:
+            np.testing.assert_array_equal(
+                scores[i, : lin.n], host_scores(lin)
+            )
+
+
+def test_blocked_safe_guard():
+    assert blocked_safe(30, 4608)
+    assert blocked_safe(500, 8192)
+    assert not blocked_safe(600, 8192)
