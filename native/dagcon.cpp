@@ -351,6 +351,10 @@ struct Graph {
   std::vector<uint8_t> backbone_f, deleted;
   std::vector<std::vector<Edge>> out_e;
   std::vector<std::vector<REdge>> in_e;
+  // Flat out-degrees: the merge scan reads these instead of chasing
+  // per-node vector headers (the former dominated merge_nodes time).
+  std::vector<int32_t> outdeg;
+  std::vector<int32_t> kahn_remaining;  // reused scratch
 
   void ensure(int32_t cap) {
     int32_t cur = (int32_t)base.size();
@@ -364,6 +368,7 @@ struct Graph {
     deleted.resize(nc);
     out_e.resize(nc);
     in_e.resize(nc);
+    outdeg.resize(nc);
   }
 
   void init(const std::string& bb) {
@@ -383,11 +388,13 @@ struct Graph {
       deleted[v] = 0;
       out_e[v].clear();  // keeps capacity
       in_e[v].clear();
+      outdeg[v] = 0;
     }
     weight[0] = weight[L + 1] = 0;
     for (int32_t p = 0; p <= L; ++p) {
       out_e[p].push_back({p + 1, 0});
       in_e[p + 1].push_back({p, 0});
+      outdeg[p] = 1;
     }
   }
 
@@ -402,6 +409,7 @@ struct Graph {
     deleted[v] = 0;
     out_e[v].clear();
     in_e[v].clear();
+    outdeg[v] = 0;
     return v;
   }
 
@@ -419,6 +427,7 @@ struct Graph {
     }
     out_e[u].push_back({v, 1});
     in_e[v].push_back({u, 1});
+    ++outdeg[u];
   }
 
   // SPEC §2.4; alignment must be normalized.
@@ -453,7 +462,8 @@ struct Graph {
   // out-degree-1 in-neighbors by base (ascending), merge into the first,
   // recurse on the survivor.
   void merge_nodes() {
-    std::vector<int32_t> remaining(n, 0);
+    std::vector<int32_t>& remaining = kahn_remaining;
+    remaining.assign(n, 0);
     for (int32_t v = 0; v < n; ++v)
       if (!deleted[v]) remaining[v] = (int32_t)in_e[v].size();
     std::deque<int32_t> q;
@@ -480,7 +490,7 @@ struct Graph {
     std::vector<uint8_t> cbase_heap;
     const int32_t lim = 512;
     for (const REdge& r : in_e[n]) {
-      if (out_e[r.from].size() == 1) {
+      if (outdeg[r.from] == 1) {
         if (nc < lim) {
           cand[nc] = r.from;
           cbase[nc] = base[r.from];
@@ -498,11 +508,30 @@ struct Graph {
     if (nc < 2) return;
     const int32_t* cp = nc <= lim ? cand : cand_heap.data();
     const uint8_t* bp = nc <= lim ? cbase : cbase_heap.data();
-    // Distinct bases present, ascending (alphabet is tiny).
-    bool present[256] = {false};
-    for (int32_t i = 0; i < nc; ++i) present[bp[i]] = true;
-    for (int32_t bv = 0; bv < 256; ++bv) {
-      if (!present[bv]) continue;
+    // Distinct bases present, ascending (alphabet is tiny — avoid a
+    // 256-slot presence table; this runs once per node).
+    uint8_t distinct[8];
+    int nd = 0;
+    std::vector<uint8_t> distinct_heap;
+    for (int32_t i = 0; i < nc; ++i) {
+      uint8_t b = bp[i];
+      bool seen = false;
+      for (int k = 0; k < nd && !seen; ++k)
+        seen = (nd <= 8 ? distinct[k] : distinct_heap[k]) == b;
+      if (!seen) {
+        if (nd < 8) {
+          distinct[nd] = b;
+        } else {
+          if (nd == 8) distinct_heap.assign(distinct, distinct + 8);
+          distinct_heap.push_back(b);
+        }
+        ++nd;
+      }
+    }
+    uint8_t* dp = nd <= 8 ? distinct : distinct_heap.data();
+    std::sort(dp, dp + nd);
+    for (int di = 0; di < nd; ++di) {
+      int32_t bv = dp[di];
       // Group for base bv, in in-edge order.
       int32_t group[512];
       std::vector<int32_t> group_heap;
@@ -559,16 +588,19 @@ struct Graph {
           } else {
             out_e[s].push_back({a, c});
             in_e[a].push_back({s, c});
+            ++outdeg[s];
           }
           // Remove s->x from out_e[s], preserving order.
           for (size_t k = 0; k < out_e[s].size(); ++k)
             if (out_e[s][k].to == x) {
               out_e[s].erase(out_e[s].begin() + k);
+              --outdeg[s];
               break;
             }
         }
         // Disconnect & delete x.
         out_e[x].clear();
+        outdeg[x] = 0;
         for (size_t k = 0; k < in_e[n].size(); ++k)
           if (in_e[n][k].from == x) {
             in_e[n].erase(in_e[n].begin() + k);

@@ -240,6 +240,57 @@ def _pad_b(batch: dict) -> dict:
     return out
 
 
+@jax.jit
+def _compress_scores(s: jax.Array):
+    """Delta-compress [B, V] f32 scores for the slow device->host link.
+
+    Scores are exact multiples of 0.5 (SPEC §2.6 arithmetic), and
+    consecutive linear nodes differ by small amounts, so the per-row
+    stream (s[0], int8 deltas in half-units) reconstructs bitwise
+    exactly — 4x less fetch traffic. Rows where any delta overflows
+    int8, is non-integral (f32 rounding kicked in), or where -inf
+    appears outside a suffix (padding) are flagged for full-row fetch.
+    """
+    d2 = 2.0 * (s[:, :-1] - s[:, 1:])
+    fin = jnp.isfinite(s)
+    both = fin[:, :-1] & fin[:, 1:]
+    d2 = jnp.where(both, d2, 0.0)
+    h0 = 2.0 * s[:, 0]
+    ok = (
+        jnp.all(jnp.abs(d2) <= 127.0, axis=1)
+        & jnp.all(d2 == jnp.round(d2), axis=1)
+        & fin[:, 0]
+        & (h0 == jnp.round(h0))  # s[0] itself must be a half-integer
+        & jnp.all(fin[:, :-1] | ~fin[:, 1:], axis=1)  # -inf only as suffix
+    )
+    return s[:, 0], d2.astype(jnp.int8), ok
+
+
+class _CompressedScores:
+    """np.asarray()-able future that reconstructs exact scores from the
+    compressed stream (full fetch only if some row was flagged)."""
+
+    def __init__(self, s_dev, s0, d8, ok):
+        self._s_dev = s_dev
+        self._s0 = s0
+        self._d8 = d8
+        self._ok = ok
+
+    def __array__(self, dtype=None, copy=None):
+        ok = np.asarray(self._ok)
+        if not ok.all():
+            s = np.asarray(self._s_dev)
+        else:
+            s0 = np.asarray(self._s0)
+            d8 = np.asarray(self._d8)
+            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
+            h = h - np.cumsum(d8.astype(np.int64), axis=1)
+            s = np.empty((s0.shape[0], d8.shape[1] + 1), np.float32)
+            s[:, 0] = s0
+            s[:, 1:] = h.astype(np.float64) / 2.0
+        return s if dtype is None else s.astype(dtype)
+
+
 class _BlockedFuture:
     """Async result of the blocked DP; np.asarray() materializes it and
     transparently re-runs unconverged rows through the sequential scan
@@ -303,7 +354,7 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
             batch["long_w"],
             batch["long_esc"],
         )
-    return dp_scores(
+    s = dp_scores(
         jnp.asarray(batch["win_count"]),
         jnp.asarray(batch["exit_count"]),
         jnp.asarray(batch["cov"]),
@@ -312,6 +363,8 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
         jnp.asarray(batch["long_w"]),
         jnp.asarray(batch["long_esc"]),
     )
+    s0, d8, ok = _compress_scores(s)
+    return _CompressedScores(s, s0, d8, ok)  # type: ignore[return-value]
 
 
 def submit_batch_scores(
