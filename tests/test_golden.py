@@ -1,0 +1,53 @@
+"""Golden-file CLI tests — the reference's cram-test equivalent
+(SURVEY.md §4): fixed checked-in M5 input, byte-for-byte expected FASTA,
+exercised through every backend and the real CLI entry point."""
+
+import io as _io
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pbdagcon_tpu import native
+from pbdagcon_tpu.config import DagconConfig
+from pbdagcon_tpu.io import FastaWriter
+from pbdagcon_tpu.pipeline import run_stream
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+M5 = os.path.join(DATA, "golden1.m5")
+EXPECTED = open(os.path.join(DATA, "golden1.fa")).read()
+CFG = dict(min_weight=6, min_length=100)
+
+
+@pytest.mark.parametrize("backend,use_native", [
+    ("host", False),
+    ("host", True),
+    ("xla", False),
+    ("xla", True),
+    ("blocked", True),
+    ("pallas", False),
+])
+def test_golden_all_backends(backend, use_native):
+    if use_native and not native.available():
+        pytest.skip("native library not built")
+    out = _io.StringIO()
+    with open(M5) as f:
+        run_stream(
+            f, FastaWriter(out),
+            DagconConfig(backend=backend, use_native=use_native, **CFG),
+        )
+    assert out.getvalue() == EXPECTED
+
+
+def test_golden_cli_subprocess():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.path.dirname(DATA and os.path.dirname(DATA)))
+    res = subprocess.run(
+        [sys.executable, "-m", "pbdagcon_tpu", M5, "-c", "6", "-m", "100",
+         "--backend", "host"],
+        capture_output=True, text=True, timeout=120,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.stdout == EXPECTED
