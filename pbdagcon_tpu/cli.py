@@ -75,6 +75,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--width", type=int, default=0,
         help="FASTA line width (0 = unwrapped)",
     )
+    p.add_argument(
+        "--shard", default=None, metavar="I/N",
+        help="process only target-groups i mod N == I (multi-host "
+        "manifest sharding; each host writes its own output)",
+    )
+    p.add_argument(
+        "--journal", default=None, metavar="PATH",
+        help="completed-target journal: skip targets already recorded, "
+        "append as they finish (restart-safe streaming)",
+    )
+    p.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -97,8 +111,42 @@ def main(argv: list[str] | None = None) -> int:
         batch_targets=args.batch_targets,
     )
     stream = open_input(args.input)
+
+    journal = None
+    if args.journal:
+        from pbdagcon_tpu.parallel.journal import TargetJournal
+
+        journal = TargetJournal(args.journal)
+
+    if args.shard or journal is not None:
+        from pbdagcon_tpu.io import filter_groups_text
+
+        shard_i, shard_n = 0, 1
+        if args.shard:
+            shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+
+        def keep(sid: str, gidx: int) -> bool:
+            if gidx % shard_n != shard_i:
+                return False
+            return journal is None or sid not in journal
+
+        stream = filter_groups_text(stream, cfg.fmt, keep)
+
     writer = FastaWriter(sys.stdout, width=args.width)
-    run_stream(stream, writer, cfg)
+
+    profiler_cm = None
+    if args.profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(args.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        run_stream(stream, writer, cfg, journal=journal)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+        if journal is not None:
+            journal.close()
     return 0
 
 

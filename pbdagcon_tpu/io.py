@@ -77,6 +77,36 @@ def format_fasta(
     return "".join(out)
 
 
+def sid_of_line(line: str, fmt: str = "m5") -> str:
+    """Target id of one record line without full parsing (field 6 for
+    M5, field 2 for 'pre')."""
+    idx = 5 if fmt == "m5" else 1
+    return line.split(None, idx + 1)[idx]
+
+
+def filter_groups_text(
+    stream: TextIO | Iterable[str],
+    fmt: str,
+    keep,  # callable (sid, group_index) -> bool
+) -> Iterator[str]:
+    """Pass through only the target-groups `keep` accepts (text level:
+    no record parsing) — manifest sharding and journal-resume filtering
+    for the streaming pipeline (SURVEY.md §5)."""
+    current: str | None = None
+    gidx = -1
+    keeping = False
+    for line in stream:
+        if not line.strip():
+            continue
+        sid = sid_of_line(line, fmt)
+        if sid != current:
+            current = sid
+            gidx += 1
+            keeping = bool(keep(sid, gidx))
+        if keeping:
+            yield line
+
+
 class FastaWriter:
     """Ordered FASTA emission (the reference writer preserves input
     target order even with `-j` workers; callers hand results back in

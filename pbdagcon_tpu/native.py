@@ -322,6 +322,13 @@ class NativeEngine:
             out[i] = meta[:]
         return out
 
+    def target_sid(self, idx: int) -> str:
+        sid_buf = ctypes.create_string_buffer(4096)
+        meta = (ctypes.c_int * 5)()
+        if self._lib.dagcon_target_meta(self._h, idx, meta, sid_buf, 4096) < 0:
+            raise IndexError(idx)
+        return sid_buf.value.decode()
+
     def long_counts(self, idx: int, ws: tuple[int, ...]) -> np.ndarray:
         """#interior edges with span > W for each W in `ws`."""
         wa = np.asarray(ws, dtype=np.int32)

@@ -254,6 +254,7 @@ def _run_stream_native(
     backend: str,
     stats: PipelineStats,
     chunk_bytes: int = 8 << 20,
+    journal=None,
 ) -> PipelineStats:
     """Native-loader path: C++ parse/normalize/graph/linearize (threaded),
     device DP per bucket batch, native backtrack + FASTA emission.
@@ -298,6 +299,10 @@ def _run_stream_native(
                         for l in text.splitlines()
                         if not l.startswith(">")
                     )
+                    if journal is not None:
+                        for l in text.splitlines():
+                            if l.startswith(">"):
+                                journal.mark(l[1:].rsplit("/", 1)[0])
             stats.targets = eng.targets_done
             return stats
         # Chunk pipelining: while the device computes chunk k's DP (and
@@ -373,6 +378,8 @@ def _run_stream_native(
                         for l in text.splitlines()
                         if not l.startswith(">")
                     )
+                if journal is not None:
+                    journal.mark(eng.target_sid(i))
             eng.clear_linears(work["count"])
 
         # Producer thread runs the C++ parse/build/linearize for chunk
@@ -458,6 +465,7 @@ def run_stream(
     stream: TextIO | Iterable[str],
     out: FastaWriter,
     cfg: DagconConfig = DagconConfig(),
+    journal=None,
 ) -> PipelineStats:
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
     stats = PipelineStats()
@@ -472,13 +480,17 @@ def run_stream(
         from pbdagcon_tpu import native as _native
 
         if _native.available():
-            _run_stream_native(stream, out, cfg, backend, stats)
+            _run_stream_native(
+                stream, out, cfg, backend, stats, journal=journal
+            )
             used_native = True
     if not used_native:
         for sid, results in run_pipeline(
             read_groups(stream, cfg.fmt), cfg, stats
         ):
             out.write_target(sid, results)
+            if journal is not None:
+                journal.mark(sid)
     log.info(
         "targets=%d fragments=%d bases=%d batches=%d host_fallbacks=%d "
         "pad_waste=%.1f%%",

@@ -51,3 +51,32 @@ def test_golden_cli_subprocess():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert res.stdout == EXPECTED
+
+
+def test_shard_and_journal_cli(tmp_path, capsys):
+    from pbdagcon_tpu.cli import main
+
+    j = tmp_path / "done.journal"
+    # Shard 0/2 then 1/2 must partition the golden targets.
+    outs = []
+    for shard in ("0/2", "1/2"):
+        rc = main([M5, "-c", "6", "-m", "100", "--backend", "host",
+                   "--shard", shard])
+        assert rc == 0
+        outs.append(capsys.readouterr().out)
+    merged_headers = sorted(
+        l for o in outs for l in o.splitlines() if l.startswith(">")
+    )
+    assert merged_headers == sorted(
+        l for l in EXPECTED.splitlines() if l.startswith(">")
+    )
+
+    # Journal: first run does all targets, second run skips them.
+    rc = main([M5, "-c", "6", "-m", "100", "--backend", "host",
+               "--journal", str(j)])
+    assert rc == 0
+    assert capsys.readouterr().out == EXPECTED
+    rc = main([M5, "-c", "6", "-m", "100", "--backend", "host",
+               "--journal", str(j)])
+    assert rc == 0
+    assert capsys.readouterr().out == ""  # everything journaled
