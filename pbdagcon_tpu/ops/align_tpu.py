@@ -119,7 +119,17 @@ def _align_scan(
     _, ptrs = jax.lax.scan(
         step, H0, jnp.arange(1, M + 1, dtype=jnp.int32)
     )
-    return jnp.moveaxis(ptrs, 0, 1)  # [B, M, Wa]
+    ptrs = jnp.moveaxis(ptrs, 0, 1)  # [B, M, Wa]
+    # 2-bit pack (4 pointers/byte): the device->host link is slow, and
+    # the pointer tensor is the only fetch of the batch.
+    p = ptrs.reshape(ptrs.shape[0], M, Wa // 4, 4)
+    packed = (
+        p[..., 0]
+        | (p[..., 1] << 2)
+        | (p[..., 2] << 4)
+        | (p[..., 3] << 6)
+    )
+    return packed  # [B, M, Wa//4] uint8
 
 
 def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -167,12 +177,16 @@ def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
             t.encode(), np.uint8
         )
 
-    ptrs = np.asarray(
+    packed = np.asarray(
         _align_scan(
             jnp.asarray(qb), jnp.asarray(tb_pad), jnp.asarray(ms),
             jnp.asarray(ns), jnp.asarray(bws), M=M, Wa=Wa, dmin=dmin,
         )
     )
+    # Unpack 2-bit pointers host-side (vectorized).
+    ptrs = np.empty((packed.shape[0], M, Wa), dtype=np.uint8)
+    for sh in range(4):
+        ptrs[:, :, sh::4] = (packed >> (2 * sh)) & 3
 
     for k, i in enumerate(todo):
         q, t = pairs[i]
