@@ -11,10 +11,12 @@ creation-order backtrack and fragment emission return to the host, so
 output is bit-identical to the oracle regardless of backend.
 
 Backends (`DagconConfig.backend`):
-- "host":   pure host DP (no device) — reference-equivalent single path.
-- "xla":    batched `lax.scan` DP (`ops/dp.py`).
-- "pallas": batched Pallas TPU kernel (`ops/dp_pallas.py`).
-- "auto":   pallas on TPU devices, xla otherwise.
+- "host":    pure host DP (no device) — reference-equivalent single path.
+- "xla":     batched `lax.scan` DP (`ops/dp.py`).
+- "blocked": max-plus blocked solve, sqrt(V) sequential depth
+  (`ops/dp_blocked.py`), guarded bit-exact.
+- "pallas":  handwritten Pallas TPU kernel (`ops/dp_pallas.py`).
+- "auto":    currently the XLA scan (fastest measured on v5e).
 
 Targets that overflow the largest (V, W, K) bucket fall back to the host
 path — exactness is never sacrificed (SPEC.md §3.1).

@@ -100,3 +100,21 @@ def test_bucket_scheduler():
     assert got == [0, 1, 2, 3, 4]
     for V, batch in flushed:
         assert V == -1 or all(l.n <= V for _i, l in batch)
+
+
+def test_prefetcher_bounded_and_propagates():
+    from pbdagcon_tpu.parallel.scheduler import Prefetcher
+
+    got = list(Prefetcher(lambda: iter(range(10)), depth=2))
+    assert got == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    import pytest as _pytest
+
+    it = iter(Prefetcher(boom, depth=2))
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError):
+        list(it)
