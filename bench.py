@@ -57,17 +57,24 @@ def main() -> int:
         log("FATAL: native engine failed to build")
         return 1
 
+    mode = os.environ.get("BENCH_MODE", "align")
+
     # ---- generate workload (excluded from timing) ----
     t0 = time.time()
+    from pbdagcon_tpu.simulate import to_pre_raw
+
     lines: list[str] = []
     for _tid, _bb, alns in simulate_targets(
         1234, n_targets, length, cov, NoiseProfile()
     ):
-        lines.extend(to_m5(a) for a in alns)
+        if mode == "align":
+            lines.extend(to_pre_raw(a) for a in alns)
+        else:
+            lines.extend(to_m5(a) for a in alns)
     text = ("\n".join(lines) + "\n").encode()
     log(
-        f"bench: generated {n_targets} targets x {length}bp x {cov}x "
-        f"({len(text)/1e6:.1f} MB M5) in {time.time()-t0:.1f}s"
+        f"bench: mode={mode} generated {n_targets} targets x {length}bp x "
+        f"{cov}x ({len(text)/1e6:.1f} MB) in {time.time()-t0:.1f}s"
     )
 
     backend = os.environ.get("BENCH_BACKEND", "xla")
@@ -77,6 +84,8 @@ def main() -> int:
         threads=os.cpu_count() or 8,
         backend=backend,
         batch_targets=512,
+        fmt="pre" if mode == "align" else "m5",
+        align=mode == "align",
         # Single V bucket sized for this workload: one compiled kernel
         # shape (axon has no persistent compile cache; each shape costs
         # minutes over the tunnel).
@@ -85,13 +94,18 @@ def main() -> int:
     )
 
     def run_tpu() -> tuple[float, PipelineStats, str]:
-        stats = PipelineStats()
         out = io.StringIO()
         t = time.time()
-        _run_stream_native(
-            io.BytesIO(text), FastaWriter(out), cfg, backend, stats
+        # run_stream engages device re-alignment (align mode) and the
+        # native loader + device DP path.
+        stats = run_stream(
+            io.TextIOWrapper(io.BytesIO(text)), FastaWriter(out), cfg
         )
-        return time.time() - t, stats, out.getvalue()
+        fasta = out.getvalue()
+        stats.consensus_bases = sum(
+            len(l) for l in fasta.splitlines() if not l.startswith(">")
+        )
+        return time.time() - t, stats, fasta
 
     # Warmup (compiles all bucket shapes), then measure steady state.
     log("bench: warmup (compiling device DP buckets)...")
@@ -115,10 +129,11 @@ def main() -> int:
     base_dt = None
     for rep in range(2):
         with native.NativeEngine(
-            min_weight=cfg.min_weight, min_length=cfg.min_length, threads=1
+            min_weight=cfg.min_weight, min_length=cfg.min_length,
+            threads=1, align=cfg.align,
         ) as eng:
             t = time.time()
-            fasta_host = eng.consensus_text(text)
+            fasta_host = eng.consensus_text(text, fmt=cfg.fmt)
             dt = time.time() - t
         log(f"bench: baseline run {rep}: {dt:.2f}s")
         base_dt = dt if base_dt is None else min(base_dt, dt)
@@ -144,6 +159,7 @@ def main() -> int:
                 "vs_baseline": round(device_rate / base_rate, 3),
                 "platform": platform,
                 "backend": backend,
+                "mode": mode,
                 "targets": n_targets,
                 "coverage": cov,
                 "backbone_len": length,

@@ -156,18 +156,26 @@ def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
         dtype=np.int32,
     )
     B = len(todo)
-    M = int(ms.max())
+    # Quantize the static kernel shape (M, Wa, dmin) so batches with
+    # similar geometry share one compiled executable (tunnel compiles
+    # are expensive).
+    M = -(-int(ms.max()) // 256) * 256
     N = int(ns.max())
-    # Offset window covering every pair's band.
     dmin = int(min(0, (ns - ms).min()) - bws.max()) - 1
+    dmin = -(-(-dmin) // 64) * -64  # round away from zero to 64s
     dmax = int(max(0, (ns - ms).max()) + bws.max()) + 1
     Wa = dmax - dmin + 1
     Wa = -(-Wa // 128) * 128
 
-    qb = np.zeros((B, M), dtype=np.uint8)
+    # Pad the batch dim to a ladder so dispatches share compiled shapes.
+    Bp = next((b for b in (32, 64, 128, 256, 512, 1024, 2048) if b >= B), B)
+    ms = np.concatenate([ms, np.ones(Bp - B, np.int32)])
+    ns = np.concatenate([ns, np.ones(Bp - B, np.int32)])
+    bws = np.concatenate([bws, np.full(Bp - B, 64, np.int32)])
+    qb = np.zeros((Bp, M), dtype=np.uint8)
     # Row i slices tb_pad[i : i+Wa]; size must cover i=M plus the t
     # placement offset (1 - dmin) so dynamic_slice never clamps.
-    tb_pad = np.zeros((B, max(M, N + 1 - dmin) + Wa + 2), dtype=np.uint8)
+    tb_pad = np.zeros((Bp, max(M, N + 1 - dmin) + Wa + 2), dtype=np.uint8)
     for k, i in enumerate(todo):
         q, t = pairs[i]
         qb[k, : len(q)] = np.frombuffer(q.encode(), np.uint8)
