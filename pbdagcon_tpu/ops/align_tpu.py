@@ -191,7 +191,21 @@ def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
             jnp.asarray(ns), jnp.asarray(bws), M=M, Wa=Wa, dmin=dmin,
         )
     )
-    # Unpack 2-bit pointers host-side (vectorized).
+
+    # Traceback: native threaded walker when built (the Python loop is
+    # ~len(q)+len(t) steps per pair — far too slow at batch scale).
+    from pbdagcon_tpu import native as _native
+
+    if _native.available():
+        res = _native.traceback_batch(
+            packed[: len(todo)], ms, ns, dmin,
+            [pairs[i][0] for i in todo], [pairs[i][1] for i in todo],
+        )
+        for k, i in enumerate(todo):
+            out[i] = res[k]
+        return [o for o in out]  # type: ignore[misc]
+
+    # Pure-Python fallback: unpack 2-bit pointers and walk.
     ptrs = np.empty((packed.shape[0], M, Wa), dtype=np.uint8)
     for sh in range(4):
         ptrs[:, :, sh::4] = (packed >> (2 * sh)) & 3
