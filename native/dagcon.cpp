@@ -1119,81 +1119,6 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
 // Total complete target groups consumed so far (host-mode stats).
 long dagcon_engine_targets(void* h) { return ((Engine*)h)->targets_done; }
 
-// Batched traceback for the device aligner (ops/align_tpu.py): walks
-// 2-bit packed pointers [B, M, Wa/4] to gapped strings. Threaded.
-// qcat/tcat are concatenated raw sequences with [B+1] offsets.
-// Output: per pair "qstr\ntstr\n" concatenated (caller splits).
-int dagcon_traceback_batch(const uint8_t* ptrs, int B, int M, int Wa4,
-                           const int32_t* ms, const int32_t* ns, int dmin,
-                           const char* qcat, const int64_t* qoff,
-                           const char* tcat, const int64_t* toff,
-                           char** out, long* out_len) {
-  std::vector<std::string> results((size_t)B);
-  int nthreads = std::max(1, std::min(4, B));
-  std::atomic<int> next(0);
-  auto work = [&]() {
-    std::string qs, ts;
-    for (;;) {
-      int b = next.fetch_add(1);
-      if (b >= B) return;
-      const char* q = qcat + qoff[b];
-      const char* t = tcat + toff[b];
-      int m = ms[b], n = ns[b];
-      qs.clear();
-      ts.clear();
-      int i = m, j = n;
-      const uint8_t* pb = ptrs + (size_t)b * M * Wa4;
-      while (i > 0 || j > 0) {
-        int p;
-        if (i == 0) {
-          p = 2;
-        } else if (j == 0) {
-          p = 1;
-        } else {
-          int lane = j - i - dmin;
-          uint8_t byte = pb[(size_t)(i - 1) * Wa4 + (lane >> 2)];
-          p = (byte >> (2 * (lane & 3))) & 3;
-        }
-        if (p == 0) {
-          qs.push_back(q[i - 1]);
-          ts.push_back(t[j - 1]);
-          --i;
-          --j;
-        } else if (p == 1) {
-          qs.push_back(q[i - 1]);
-          ts.push_back('-');
-          --i;
-        } else {
-          qs.push_back('-');
-          ts.push_back(t[j - 1]);
-          --j;
-        }
-      }
-      std::string& r = results[b];
-      r.reserve(qs.size() * 2 + 2);
-      r.assign(qs.rbegin(), qs.rend());
-      r.push_back('\n');
-      r.append(ts.rbegin(), ts.rend());
-      r.push_back('\n');
-    }
-  };
-  std::vector<std::thread> pool;
-  for (int k = 0; k < nthreads; ++k) pool.emplace_back(work);
-  for (auto& th : pool) th.join();
-  size_t total = 0;
-  for (auto& r : results) total += r.size();
-  char* buf = (char*)malloc(total + 1);
-  size_t off = 0;
-  for (auto& r : results) {
-    memcpy(buf + off, r.data(), r.size());
-    off += r.size();
-  }
-  buf[total] = 0;
-  *out = buf;
-  *out_len = (long)total;
-  return 0;
-}
-
 // Enable/disable re-alignment of raw pairs (reference `dagcon -a`).
 void dagcon_engine_set_align(void* h, int align) {
   ((Engine*)h)->align = align;

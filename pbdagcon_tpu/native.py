@@ -115,64 +115,12 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         c_char_pp, c_long_p,
     ]
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.dagcon_traceback_batch.restype = ctypes.c_int
-    lib.dagcon_traceback_batch.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i32p, i32p, ctypes.c_int,
-        ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
-        c_char_pp, c_long_p,
-    ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
-
-
-def traceback_batch(
-    packed: np.ndarray,  # [B, M, Wa//4] uint8 (2-bit pointers)
-    ms: np.ndarray,
-    ns: np.ndarray,
-    dmin: int,
-    qs: list[str],
-    ts: list[str],
-) -> list[tuple[str, str]]:
-    """Native threaded traceback of device-aligner pointers."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
-    B, M, Wa4 = packed.shape
-    qcat = "".join(qs).encode()
-    tcat = "".join(ts).encode()
-    qoff = np.zeros(B + 1, dtype=np.int64)
-    toff = np.zeros(B + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in qs], out=qoff[1:])
-    np.cumsum([len(x) for x in ts], out=toff[1:])
-    packed = np.ascontiguousarray(packed)
-    ms = np.ascontiguousarray(ms[:B], dtype=np.int32)
-    ns = np.ascontiguousarray(ns[:B], dtype=np.int32)
-    out = ctypes.c_char_p()
-    out_len = ctypes.c_long()
-
-    def p(a, typ):
-        return a.ctypes.data_as(ctypes.POINTER(typ))
-
-    rc = lib.dagcon_traceback_batch(
-        p(packed, ctypes.c_uint8), B, M, Wa4,
-        p(ms, ctypes.c_int32), p(ns, ctypes.c_int32), dmin,
-        qcat, p(qoff, ctypes.c_int64), tcat, p(toff, ctypes.c_int64),
-        ctypes.byref(out), ctypes.byref(out_len),
-    )
-    try:
-        blob = ctypes.string_at(out, out_len.value).decode()
-    finally:
-        lib.dagcon_free(out)
-    if rc != 0:
-        raise RuntimeError("traceback_batch failed")
-    lines = blob.split("\n")
-    return [(lines[2 * i], lines[2 * i + 1]) for i in range(B)]
 
 
 def align_pair_native(q: str, t: str) -> tuple[str, str]:

@@ -43,6 +43,47 @@ from pbdagcon_tpu.aligner import GAP, MATCH, MISMATCH, band_halfwidth
 NEG = np.int32(-(1 << 30))
 
 
+@functools.partial(jax.jit, static_argnames=("M", "Wa", "dmin", "L"))
+def _traceback_scan(
+    packed: jax.Array,  # [B, M, Wa//4] uint8 (2-bit pointers, device)
+    m: jax.Array,  # [B]
+    n: jax.Array,  # [B]
+    M: int,
+    Wa: int,
+    dmin: int,
+    L: int,
+):
+    """Walk the pointers on device, emitting a per-pair move stream
+    (0=diag, 1=up, 2=left, 3=done) of static length L >= max(m+n).
+
+    The pointer tensor is ~M*Wa/4 bytes/pair — far too big for the slow
+    device->host link; the move stream is ~(m+n) bytes/pair."""
+    B = packed.shape[0]
+    Wa4 = Wa // 4
+    flat = packed.reshape(B, M * Wa4)
+
+    def step(state, _):
+        i, j = state
+        done = (i == 0) & (j == 0)
+        lane = j - i - jnp.int32(dmin)
+        lin = (jnp.maximum(i - 1, 0)) * Wa4 + jnp.clip(
+            lane >> 2, 0, Wa4 - 1
+        )
+        byte = jnp.take_along_axis(flat, lin[:, None], axis=1)[:, 0]
+        p = (byte >> (2 * (lane & 3)).astype(jnp.uint8)) & 3
+        p = jnp.where(i == 0, jnp.uint8(2), p.astype(jnp.uint8))
+        p = jnp.where((j == 0) & (i > 0), jnp.uint8(1), p)
+        p = jnp.where(done, jnp.uint8(3), p)
+        i = i - ((p == 0) | (p == 1)).astype(jnp.int32)
+        j = j - ((p == 0) | (p == 2)).astype(jnp.int32)
+        return (i, j), p
+
+    (_, _), moves = jax.lax.scan(
+        step, (m.astype(jnp.int32), n.astype(jnp.int32)), None, length=L
+    )
+    return jnp.moveaxis(moves, 0, 1)  # [B, L]
+
+
 @functools.partial(jax.jit, static_argnames=("M", "Wa", "dmin"))
 def _align_scan(
     qb: jax.Array,  # [B, M] uint8 query bytes (0 pad)
@@ -185,60 +226,37 @@ def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
             t.encode(), np.uint8
         )
 
-    packed = np.asarray(
-        _align_scan(
-            jnp.asarray(qb), jnp.asarray(tb_pad), jnp.asarray(ms),
-            jnp.asarray(ns), jnp.asarray(bws), M=M, Wa=Wa, dmin=dmin,
+    packed_dev = _align_scan(
+        jnp.asarray(qb), jnp.asarray(tb_pad), jnp.asarray(ms),
+        jnp.asarray(ns), jnp.asarray(bws), M=M, Wa=Wa, dmin=dmin,
+    )
+    # Device-side traceback: fetch only the ~(m+n)-byte move streams
+    # (the pointer tensor itself is ~M*Wa/4 bytes/pair — 30-50x more).
+    Np = -(-N // 256) * 256
+    L = M + Np
+    moves = np.asarray(
+        _traceback_scan(
+            packed_dev, jnp.asarray(ms), jnp.asarray(ns),
+            M=M, Wa=Wa, dmin=dmin, L=L,
         )
     )
 
-    # Traceback: native threaded walker when built (the Python loop is
-    # ~len(q)+len(t) steps per pair — far too slow at batch scale).
-    from pbdagcon_tpu import native as _native
-
-    if _native.available():
-        res = _native.traceback_batch(
-            packed[: len(todo)], ms, ns, dmin,
-            [pairs[i][0] for i in todo], [pairs[i][1] for i in todo],
-        )
-        for k, i in enumerate(todo):
-            out[i] = res[k]
-        return [o for o in out]  # type: ignore[misc]
-
-    # Pure-Python fallback: unpack 2-bit pointers and walk.
-    ptrs = np.empty((packed.shape[0], M, Wa), dtype=np.uint8)
-    for sh in range(4):
-        ptrs[:, :, sh::4] = (packed >> (2 * sh)) & 3
-
+    gap = ord("-")
     for k, i in enumerate(todo):
         q, t = pairs[i]
-        qs = bytearray()
-        ts = bytearray()
-        ii, jj = len(q), len(t)
-        while ii > 0 or jj > 0:
-            if ii == 0:
-                qs.append(ord("-"))
-                ts.append(ord(t[jj - 1]))
-                jj -= 1
-                continue
-            if jj == 0:
-                qs.append(ord(q[ii - 1]))
-                ts.append(ord("-"))
-                ii -= 1
-                continue
-            p = ptrs[k, ii - 1, jj - ii - dmin]
-            if p == 0:
-                qs.append(ord(q[ii - 1]))
-                ts.append(ord(t[jj - 1]))
-                ii -= 1
-                jj -= 1
-            elif p == 1:
-                qs.append(ord(q[ii - 1]))
-                ts.append(ord("-"))
-                ii -= 1
-            else:
-                qs.append(ord("-"))
-                ts.append(ord(t[jj - 1]))
-                jj -= 1
-        out[i] = (qs[::-1].decode(), ts[::-1].decode())
+        mv = moves[k]
+        end = int(np.argmax(mv == 3)) if (mv == 3).any() else len(mv)
+        mv = mv[:end][::-1]  # forward order
+        qarr = np.frombuffer(q.encode(), np.uint8)
+        tarr = np.frombuffer(t.encode(), np.uint8)
+        take_q = mv != 2
+        take_t = mv != 1
+        qi = np.cumsum(take_q) - 1
+        ti = np.cumsum(take_t) - 1
+        qs = np.where(take_q, qarr[np.clip(qi, 0, len(qarr) - 1)], gap)
+        ts = np.where(take_t, tarr[np.clip(ti, 0, len(tarr) - 1)], gap)
+        out[i] = (
+            qs.astype(np.uint8).tobytes().decode(),
+            ts.astype(np.uint8).tobytes().decode(),
+        )
     return [o for o in out]  # type: ignore[misc]
