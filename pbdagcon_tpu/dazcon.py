@@ -64,10 +64,17 @@ def consensus_one_target(
     """Re-align hits to the target and emit the dazcon-style single
     consensus string (longest kept run)."""
     pre_lines = m4_to_pre(hits, reads)
-    alns: list[Alignment] = []
-    for line in pre_lines:
-        aln = parse_pre(line)
-        alns.append(align_record(aln))
+    raw = [parse_pre(line) for line in pre_lines]
+    try:  # batched device aligner (exact; falls back to scalar DP)
+        from pbdagcon_tpu.ops.align_tpu import align_batch
+
+        gapped = align_batch([(a.qstr, a.tstr) for a in raw])
+        alns: list[Alignment] = []
+        for a, (gq, gt) in zip(raw, gapped):
+            a.qstr, a.tstr = gq, gt
+            alns.append(a.recompute_end())
+    except Exception:  # pragma: no cover - no jax backend
+        alns = [align_record(a) for a in raw]
     g = graph_from_group(tseq, alns)
     lin = linearize(g, sid=tname)
     path = backtrack(lin, host_scores(lin))
