@@ -241,22 +241,39 @@ def align_batch(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
         )
     )
 
-    gap = ord("-")
+    # Fully vectorized replay across the batch: reverse each row by its
+    # own path length, cumsum-index into concatenated sequence buffers,
+    # then slice out per-pair strings.
+    Bt = len(todo)
+    mv = moves[:Bt]  # [Bt, L]
+    has_done = (mv == 3).any(axis=1)
+    plen = np.where(has_done, np.argmax(mv == 3, axis=1), mv.shape[1])
+    pos = np.arange(mv.shape[1])[None, :]
+    rev_idx = np.clip(plen[:, None] - 1 - pos, 0, mv.shape[1] - 1)
+    fwd = np.take_along_axis(mv, rev_idx, axis=1)  # forward-order moves
+    inpath = pos < plen[:, None]
+    take_q = (fwd != 2) & inpath
+    take_t = (fwd != 1) & inpath
+
+    qcat = np.frombuffer(
+        "".join(pairs[i][0] for i in todo).encode(), np.uint8
+    )
+    tcat = np.frombuffer(
+        "".join(pairs[i][1] for i in todo).encode(), np.uint8
+    )
+    qoff = np.zeros(Bt, np.int64)
+    toff = np.zeros(Bt, np.int64)
+    np.cumsum(ms[:Bt][:-1], out=qoff[1:])
+    np.cumsum(ns[:Bt][:-1], out=toff[1:])
+    qi = np.cumsum(take_q, axis=1) - 1 + qoff[:, None]
+    ti = np.cumsum(take_t, axis=1) - 1 + toff[:, None]
+    gap = np.uint8(ord("-"))
+    qs2 = np.where(take_q, qcat[np.clip(qi, 0, len(qcat) - 1)], gap)
+    ts2 = np.where(take_t, tcat[np.clip(ti, 0, len(tcat) - 1)], gap)
     for k, i in enumerate(todo):
-        q, t = pairs[i]
-        mv = moves[k]
-        end = int(np.argmax(mv == 3)) if (mv == 3).any() else len(mv)
-        mv = mv[:end][::-1]  # forward order
-        qarr = np.frombuffer(q.encode(), np.uint8)
-        tarr = np.frombuffer(t.encode(), np.uint8)
-        take_q = mv != 2
-        take_t = mv != 1
-        qi = np.cumsum(take_q) - 1
-        ti = np.cumsum(take_t) - 1
-        qs = np.where(take_q, qarr[np.clip(qi, 0, len(qarr) - 1)], gap)
-        ts = np.where(take_t, tarr[np.clip(ti, 0, len(tarr) - 1)], gap)
+        L = int(plen[k])
         out[i] = (
-            qs.astype(np.uint8).tobytes().decode(),
-            ts.astype(np.uint8).tobytes().decode(),
+            qs2[k, :L].tobytes().decode(),
+            ts2[k, :L].tobytes().decode(),
         )
     return [o for o in out]  # type: ignore[misc]

@@ -209,22 +209,31 @@ def device_align_stream(
 ) -> Iterator[str]:
     """Re-align raw record pairs on device in batches; yields gapped
     'pre' lines (order preserved). The `-a` hot stage moved to the TPU
-    (ops/align_tpu.py); downstream consumers run without -a."""
-    from pbdagcon_tpu.alignment import parse_records
+    (ops/align_tpu.py); downstream consumers run without -a.
+
+    Field-level rewriting (no record objects): a raw 'pre' record's
+    start/end/tlen already describe the target window, and the gapped
+    strings don't change them, so only fields 6/7 are replaced."""
     from pbdagcon_tpu.ops.align_tpu import align_batch
-    from pbdagcon_tpu.simulate import to_pre
 
-    buf: list = []
+    if fmt != "pre":
+        raise ValueError("device alignment requires raw 'pre' records")
+    buf: list[list[str]] = []
 
-    def flush(buf: list) -> Iterator[str]:
-        gapped = align_batch([(a.qstr, a.tstr) for a in buf])
-        for a, (gq, gt) in zip(buf, gapped):
-            a.qstr, a.tstr = gq, gt
-            a.recompute_end()
-            yield to_pre(a) + "\n"
+    def flush(buf: list[list[str]]) -> Iterator[str]:
+        gapped = align_batch([(f[5], f[6]) for f in buf])
+        for f, (gq, gt) in zip(buf, gapped):
+            yield (
+                f"{f[0]} {f[1]} {f[2]} {f[3]} {f[4]} {gq} {gt}\n"
+            )
 
-    for aln in parse_records(stream, fmt):
-        buf.append(aln)
+    for line in stream:
+        f = line.split()
+        if not f:
+            continue
+        if len(f) != 7:
+            raise ValueError(f"pre record has {len(f)} fields, expected 7")
+        buf.append(f)
         if len(buf) >= batch_records:
             yield from flush(buf)
             buf = []
