@@ -131,3 +131,26 @@ def test_cli_smoke(tmp_path, capsys):
         m5.read_text(), DagconConfig(min_weight=4, min_length=30)
     )
     assert out == expected
+
+
+def test_high_depth_pileup_end_to_end():
+    """BASELINE config #3 shape: deep noisy pileups stress merge, long
+    edges, and bucket/layout selection; all backends must agree."""
+    rng = random.Random(99)
+    lines = []
+    for _tid, _bb, alns in simulate_targets(
+        99, 2, 150, 120,
+        NoiseProfile(sub=0.04, ins=0.16, dele=0.08, max_ins_run=4),
+    ):
+        lines.extend(to_m5(a, flip=rng.random() < 0.3) for a in alns)
+    text = "\n".join(lines) + "\n"
+    outs = {}
+    for backend in ("host", "xla", "blocked"):
+        buf = _io.StringIO()
+        run_stream(
+            _io.StringIO(text), FastaWriter(buf),
+            DagconConfig(min_weight=30, min_length=50, backend=backend),
+        )
+        outs[backend] = buf.getvalue()
+    assert outs["host"] == outs["xla"] == outs["blocked"]
+    assert outs["host"].count(">") >= 2
