@@ -205,7 +205,7 @@ def run_pipeline(
 def device_align_stream(
     stream: TextIO | Iterable[str],
     fmt: str = "pre",
-    batch_records: int = 2048,
+    batch_records: int = 1024,
 ) -> Iterator[str]:
     """Re-align raw record pairs on device in batches; yields gapped
     'pre' lines (order preserved). The `-a` hot stage moved to the TPU
