@@ -134,3 +134,16 @@ def test_long_edge_overflow_raises():
     if lin.span > 1:
         with pytest.raises(LongEdgeOverflow):
             pad_batch([lin], _bucket(lin.n), 1, 0)
+
+
+def test_consensus_one_linear_matches_oracle():
+    from pbdagcon_tpu.ops.linearize import consensus_one_from_path
+
+    for seed in (70, 71, 72):
+        rng = random.Random(seed)
+        backbone, alns = simulate_pileup(rng, f"c{seed}", 120, 18, NoiseProfile())
+        g = _oracle_graph(backbone, alns)
+        lin = linearize(g)
+        path = backtrack(lin, host_scores(lin))
+        got = consensus_one_from_path(lin, path, min_weight=6)
+        assert got == g.consensus_one(min_weight=6)
