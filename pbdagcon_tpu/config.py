@@ -25,6 +25,11 @@ class DagconConfig:
     # Re-align raw (ungapped) q/t pairs before graph building — the
     # reference `dagcon -a` path over unaligned 'pre' records (SPEC §1.5).
     align: bool = False
+    # Where -a alignment runs: "host" (threaded C++ banded DP) or
+    # "device" (batched TPU kernel, ops/align_tpu.py). Host currently
+    # wins on this tunnel (device traceback gathers dominate); both are
+    # exact.
+    align_backend: str = "host"
 
     # --- TPU execution knobs ---
     # Bucket ladders for padded shapes (nodes V, successor window W).
@@ -44,6 +49,8 @@ class DagconConfig:
     def __post_init__(self) -> None:
         if self.fmt not in ("m5", "pre"):
             raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")
+        if self.align_backend not in ("host", "device"):
+            raise ValueError(f"unknown align_backend {self.align_backend!r}")
         if self.backend not in ("auto", "xla", "blocked", "pallas", "host"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.min_weight < 0 or self.min_length < 0 or self.trim < 0:

@@ -481,7 +481,12 @@ def run_stream(
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
     stats = PipelineStats()
     backend = resolve_backend(cfg)
-    if cfg.align and backend in ("xla", "pallas") and cfg.fmt == "pre":
+    if (
+        cfg.align
+        and cfg.align_backend == "device"
+        and backend in ("xla", "blocked", "pallas")
+        and cfg.fmt == "pre"
+    ):
         # Device re-alignment: transform the raw stream up front, then
         # run the rest of the pipeline on gapped records without -a.
         stream = device_align_stream(stream, cfg.fmt)

@@ -74,7 +74,8 @@ def test_pre_raw_roundtrip_and_pipeline():
         min_weight=5, min_length=30, fmt="pre", align=True, backend="host"
     )
     cfg_dev = DagconConfig(
-        min_weight=5, min_length=30, fmt="pre", align=True, backend="xla"
+        min_weight=5, min_length=30, fmt="pre", align=True, backend="xla",
+        align_backend="device",
     )
     out_h, out_d = _io.StringIO(), _io.StringIO()
     run_stream(_io.StringIO(text), FastaWriter(out_h), cfg_host)
