@@ -249,7 +249,9 @@ static void trim_aln(Alignment& a, int32_t n) {
 // DP; must agree exactly with pbdagcon_tpu/aligner.py (and the batched
 // TPU kernel). Scratch reused per worker.
 struct AlignScratch {
-  std::vector<int32_t> H;  // (m+1) x (n+1), row-major
+  std::vector<int32_t> H;  // band-only rows, (m+1) x (2*bw+1)
+  std::vector<int32_t> lo, hi;  // per-row band bounds
+  std::vector<int32_t> tmp;  // row candidate buffer (pass 1)
   std::string qs, ts;
 };
 
@@ -272,27 +274,91 @@ static void align_pair(const std::string& q, const std::string& t,
   }
   int64_t bw64 = std::max<int64_t>(64, std::abs((int64_t)m - n) + 32);
   int32_t bw = (int32_t)bw64;
-  size_t stride = (size_t)n + 1;
-  as.H.assign(((size_t)m + 1) * stride, A_NEG);
-  int32_t* H = as.H.data();
-  for (int32_t j = 0; j <= n; ++j) H[j] = A_GAP * j;
-  for (int32_t i = 0; i <= m; ++i) H[(size_t)i * stride] = A_GAP * i;
+  // Band-only storage: row i covers columns [lo_i, hi_i]; cells outside
+  // are reconstructed analytically (borders) or -inf. No per-pair
+  // memset — every stored cell is written before it is read. This is
+  // semantically identical to the full-matrix banded fill (SPEC §1.5):
+  // out-of-band reads return the same NEG/border values.
+  int32_t Wb = 2 * bw + 1;
+  as.H.resize(((size_t)m + 1) * Wb);
+  int32_t* band = as.H.data();
+  as.lo.resize((size_t)m + 1);
+  as.hi.resize((size_t)m + 1);
+  int32_t* lo = as.lo.data();
+  int32_t* hi = as.hi.data();
+  lo[0] = 1;
+  hi[0] = 0;  // row 0 stores nothing (analytic border)
   for (int32_t i = 1; i <= m; ++i) {
     int32_t center = (int32_t)((int64_t)i * n / m);
-    int32_t lo = std::max(1, center - bw);
-    int32_t hi = std::min(n, center + bw);
-    const int32_t* prev = H + (size_t)(i - 1) * stride;
-    int32_t* row = H + (size_t)i * stride;
+    lo[i] = std::max(1, center - bw);
+    hi[i] = std::min(n, center + bw);
+  }
+  auto get = [&](int32_t i, int32_t j) -> int32_t {
+    if (i == 0) return A_GAP * j;
+    if (j == 0) return A_GAP * i;
+    if (j < lo[i] || j > hi[i]) return A_NEG;
+    return band[(size_t)i * Wb + (j - lo[i])];
+  };
+  as.tmp.resize((size_t)Wb + 2);
+  int32_t* tmp = as.tmp.data();
+  for (int32_t i = 1; i <= m; ++i) {
     char qc = q[i - 1];
-    int32_t left = row[lo - 1];
-    for (int32_t j = lo; j <= hi; ++j) {
-      int32_t v = prev[j - 1] + (qc == t[j - 1] ? A_MATCH : A_MISMATCH);
-      int32_t up = prev[j] + A_GAP;
-      if (up > v) v = up;
-      int32_t lf = left + A_GAP;
-      if (lf > v) v = lf;
-      row[j] = v;
-      left = v;
+    const int32_t l = lo[i], h = hi[i];
+    const int32_t* prev = band + (size_t)(i - 1) * Wb;
+    int32_t plo = lo[i - 1], phi = hi[i - 1];
+    int32_t* row = band + (size_t)i * Wb;
+    // Pass 1 (vectorizable): tmp[j] = max(diag + sub, up + GAP).
+    // Interior cells read the previous band contiguously; edges where
+    // the previous row's band doesn't cover j-1 / j are patched after.
+    if (i == 1) {
+      for (int32_t j = l; j <= h; ++j) {
+        int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
+        int32_t v = A_GAP * (j - 1) + sub;
+        int32_t u2 = A_GAP * j + A_GAP;
+        tmp[j - l] = v > u2 ? v : u2;
+      }
+    } else {
+      int32_t j0 = std::max(l, plo + 1);   // j-1 >= plo
+      int32_t j1 = std::min(h, phi);       // j <= phi (and j-1 <= phi-1)
+      const int32_t* pd = prev + (j0 - 1 - plo);
+      const int32_t* pu = prev + (j0 - plo);
+      const char* tb = t.data() + (j0 - 1);
+      int32_t* tp = tmp + (j0 - l);
+      int32_t cnt = j1 - j0 + 1;
+      for (int32_t k = 0; k < cnt; ++k) {
+        int32_t sub = (qc == tb[k]) ? A_MATCH : A_MISMATCH;
+        int32_t v = pd[k] + sub;
+        int32_t u2 = pu[k] + A_GAP;
+        tp[k] = v > u2 ? v : u2;
+      }
+      // Edge cells (at most a few per row).
+      for (int32_t j = l; j < j0 && j <= h; ++j) {
+        int32_t diag = (j - 1 == 0) ? A_GAP * (i - 1)
+                       : (j - 1 < plo || j - 1 > phi) ? A_NEG
+                                                      : prev[j - 1 - plo];
+        int32_t up = (j < plo || j > phi) ? A_NEG : prev[j - plo];
+        int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
+        int32_t v = diag + sub;
+        int32_t u2 = up + A_GAP;
+        tmp[j - l] = v > u2 ? v : u2;
+      }
+      for (int32_t j = std::max(j1 + 1, l); j <= h; ++j) {
+        int32_t diag = (j - 1 < plo || j - 1 > phi) ? A_NEG
+                                                    : prev[j - 1 - plo];
+        int32_t up = (j < plo || j > phi) ? A_NEG : prev[j - plo];
+        int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
+        int32_t v = diag + sub;
+        int32_t u2 = up + A_GAP;
+        tmp[j - l] = v > u2 ? v : u2;
+      }
+    }
+    // Pass 2 (cheap scalar chain): left-gap prefix max.
+    int32_t run = get(i, l - 1);
+    for (int32_t j = l; j <= h; ++j) {
+      run = run + A_GAP;
+      int32_t v = tmp[j - l];
+      if (v > run) run = v;
+      row[j - l] = run;
     }
   }
   // Traceback; tie-break diagonal > up (gap in t) > left (gap in q).
@@ -302,15 +368,15 @@ static void align_pair(const std::string& q, const std::string& t,
   ts.clear();
   int32_t i = m, j = n;
   while (i > 0 || j > 0) {
-    int32_t h = H[(size_t)i * stride + j];
+    int32_t h = get(i, j);
     if (i > 0 && j > 0 &&
-        h == H[(size_t)(i - 1) * stride + (j - 1)] +
+        h == get(i - 1, j - 1) +
                  (q[i - 1] == t[j - 1] ? A_MATCH : A_MISMATCH)) {
       qs.push_back(q[i - 1]);
       ts.push_back(t[j - 1]);
       --i;
       --j;
-    } else if (i > 0 && h == H[(size_t)(i - 1) * stride + j] + A_GAP) {
+    } else if (i > 0 && h == get(i - 1, j) + A_GAP) {
       qs.push_back(q[i - 1]);
       ts.push_back('-');
       --i;
