@@ -145,6 +145,45 @@ def main() -> int:
     if fasta_dev != fasta_host:
         log("FATAL: device FASTA != single-core C++ FASTA (parity broken)")
         return 1
+
+    # ---- kernel-level metric: consensus DP, device vs one host core ----
+    # (the stage the chip owns; end-to-end is host-bound on this 4-core
+    # dev box, so the per-stage ratio shows the chip's real headroom)
+    import numpy as np
+
+    from pbdagcon_tpu.ops.dp import submit_packed_scores
+    from pbdagcon_tpu.pipeline import _choose_layout_native
+
+    dp_dev_rate = dp_host_rate = 0.0
+    try:
+        with native.NativeEngine(
+            min_weight=cfg.min_weight, min_length=cfg.min_length,
+            threads=cfg.threads, align=cfg.align,
+        ) as eng:
+            count = eng.linearize_text(text, fmt=cfg.fmt)
+            idxs = list(range(min(count, 512)))
+            W, K = _choose_layout_native(eng, idxs, cfg)
+            V = cfg.v_buckets[0]
+            batch = eng.pack_batch(idxs, V, W, K, b_pad=512)
+            np.asarray(submit_packed_scores(batch, backend=backend))  # warm
+            t = time.time()
+            reps = 3
+            for _ in range(reps):
+                np.asarray(submit_packed_scores(batch, backend=backend))
+            dp_dev_rate = len(idxs) * reps / (time.time() - t)
+            t = time.time()
+            nh = min(64, count)
+            metas = eng.metas(nh)
+            for i in range(nh):
+                eng.target_scores(i, int(metas[i, 0]))
+            dp_host_rate = nh / (time.time() - t)
+        log(
+            f"bench: DP stage device={dp_dev_rate:,.0f} targets/s "
+            f"1-core-host={dp_host_rate:,.0f} targets/s "
+            f"({dp_dev_rate/max(dp_host_rate,1e-9):.1f}x)"
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"bench: DP stage metric skipped ({e})")
     log(
         f"bench: parity OK ({device_bases} consensus bases). "
         f"device={device_rate:,.0f} b/s single-core-C++={base_rate:,.0f} b/s"
@@ -165,6 +204,11 @@ def main() -> int:
                 "backbone_len": length,
                 "baseline": "native C++ engine, 1 thread (reference stand-in)",
                 "parity": "device FASTA == single-core FASTA",
+                "dp_device_targets_per_s": round(dp_dev_rate, 1),
+                "dp_host_1core_targets_per_s": round(dp_host_rate, 1),
+                "dp_stage_speedup": round(
+                    dp_dev_rate / max(dp_host_rate, 1e-9), 2
+                ),
             }
         )
     )
