@@ -29,7 +29,7 @@ def log(*a) -> None:
 
 
 def main() -> int:
-    n_targets = int(os.environ.get("BENCH_TARGETS", "256"))
+    n_targets = int(os.environ.get("BENCH_TARGETS", "512"))
     length = int(os.environ.get("BENCH_LEN", "1000"))
     cov = int(os.environ.get("BENCH_COV", "30"))
 
