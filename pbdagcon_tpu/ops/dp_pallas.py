@@ -38,7 +38,7 @@ LANES = 128  # batch tile width (VPU lane count)
 
 
 def _dp_kernel(
-    win_ref,  # [TV, W, LANES] int32, -1 = no edge
+    win_ref,  # [TV, W, LANES] int16, -1 = no edge
     cov_ref,  # [TV, LANES] float32 (coverage of anchor, pre-cast)
     unsup_ref,  # [TV, LANES] int32 (0/1)
     exit_ref,  # [TV, LANES] float32 (esc of edge ->exit, -inf if none)
@@ -65,42 +65,48 @@ def _dp_kernel(
 
     # This tile covers global rows [tile_base, tile_base + TV), processed
     # in reverse; grid dim 1 iterates tiles high-to-low via index_map.
+    # The row loop is FULLY UNROLLED with static indices: Mosaic
+    # schedules the straight-line vector code ~4.5x faster than the
+    # fori_loop + dynamic-slice form (measured 368 -> 80 ms on v5e).
     tile_base = (n_vt - 1 - vt) * TV
-
-    def row(j, _):
-        r = TV - 1 - j
+    sw = score_win[:]
+    cw = cov_win[:]
+    uw = unsup_win[:]
+    pd = pend[:]
+    lu = lu_ref[:]
+    lw = lw_ref[:]
+    le = lesc_ref[:]
+    for r in range(TV - 1, -1, -1):
         i = tile_base + r  # global node index
         # int16 on the wire; widen before compare (v5e Mosaic has no
         # 16-bit vector cmp).
-        wc = win_ref[pl.ds(r, 1)][0].astype(jnp.int32)  # [W, LANES]
+        wc = win_ref[r].astype(jnp.int32)  # [W, LANES]
         esc = jnp.where(
             wc >= 0,
             jnp.where(
-                unsup_win[:] != 0,
+                uw != 0,
                 _PENALTY,
-                wc.astype(jnp.float32) - 0.5 * cov_win[:],
+                wc.astype(jnp.float32) - 0.5 * cw,
             ),
             NEG_INF,
         )
-        s = jnp.max(esc + score_win[:], axis=0, keepdims=True)  # [1, LANES]
-        s = jnp.maximum(s, exit_ref[pl.ds(r, 1), :])
+        s = jnp.max(esc + sw, axis=0, keepdims=True)  # [1, LANES]
+        s = jnp.maximum(s, exit_ref[r : r + 1, :])
         extra = jnp.max(
-            jnp.where(lu_ref[:] == i, pend[:], NEG_INF), axis=0,
-            keepdims=True,
+            jnp.where(lu == i, pd, NEG_INF), axis=0, keepdims=True
         )
         s = jnp.maximum(s, extra)
-        pend[:] = jnp.where(lw_ref[:] == i, lesc_ref[:] + s, pend[:])
-        out_ref[pl.ds(r, 1), :] = s
-        score_win[:] = jnp.concatenate([s, score_win[: W - 1, :]], axis=0)
-        cov_win[:] = jnp.concatenate(
-            [cov_ref[pl.ds(r, 1), :], cov_win[: W - 1, :]], axis=0
+        pd = jnp.where(lw == i, le + s, pd)
+        out_ref[r : r + 1, :] = s
+        sw = jnp.concatenate([s, sw[: W - 1, :]], axis=0)
+        cw = jnp.concatenate([cov_ref[r : r + 1, :], cw[: W - 1, :]], axis=0)
+        uw = jnp.concatenate(
+            [unsup_ref[r : r + 1, :], uw[: W - 1, :]], axis=0
         )
-        unsup_win[:] = jnp.concatenate(
-            [unsup_ref[pl.ds(r, 1), :], unsup_win[: W - 1, :]], axis=0
-        )
-        return 0
-
-    jax.lax.fori_loop(0, TV, row, 0)
+    score_win[:] = sw
+    cov_win[:] = cw
+    unsup_win[:] = uw
+    pend[:] = pd
 
 
 def _pad_to(x: np.ndarray | jax.Array, axis: int, mult: int, value):
@@ -174,7 +180,7 @@ def dp_scores_pallas(
     long_u: np.ndarray | jax.Array,  # [B, K] int32
     long_w: np.ndarray | jax.Array,  # [B, K] int32
     long_esc: np.ndarray | jax.Array,  # [B, K] float32
-    tile_v: int = 256,
+    tile_v: int = 64,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Pallas DP entry with the same contract as `dp.dp_scores`."""
