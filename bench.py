@@ -162,7 +162,8 @@ def main() -> int:
         ) as eng:
             count = eng.linearize_text(text, fmt=cfg.fmt)
             idxs = list(range(min(count, 512)))
-            W, K = _choose_layout_native(eng, idxs, cfg)
+            W, K, outliers = _choose_layout_native(eng, idxs, cfg)
+            idxs = [i for i in idxs if i not in outliers]
             V = cfg.v_buckets[0]
             batch = eng.pack_batch(idxs, V, W, K, b_pad=512)
             np.asarray(submit_packed_scores(batch, backend=backend))  # warm

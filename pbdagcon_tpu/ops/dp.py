@@ -122,7 +122,7 @@ def _edge_spans(lin: LinearGraph) -> np.ndarray:
 def choose_layout(
     lins: list[LinearGraph],
     w_ladder: tuple[int, ...] = (16, 32, 64, 128),
-    k_ladder: tuple[int, ...] = (8, 32, 128, 512, 2048),
+    k_ladder: tuple[int, ...] = (8, 32, 128),
 ) -> tuple[int, int]:
     """Pick the (W, K) bucket minimizing per-node DP work `W + K`.
 
@@ -141,7 +141,7 @@ def choose_layout(
         # Host->device transfer is the scarce resource (the band tensor
         # is ~W int16/node); the K register file is compute-only and
         # cheap per slot. Weight accordingly.
-        cost = 2 * W + K / 8
+        cost = 2 * W + K / 2
         if best_cost is None or cost < best_cost:
             best, best_cost = (W, K), cost
     if best is None:

@@ -339,7 +339,17 @@ def _run_stream_native(
                 try:
                     from pbdagcon_tpu.ops.dp import _B_LADDER
 
-                    W, K = _choose_layout_native(eng, abs_idxs, cfg)
+                    W, K, outliers = _choose_layout_native(
+                        eng, abs_idxs, cfg
+                    )
+                    if outliers:
+                        for a in outliers:
+                            i = a - offset
+                            stats.host_fallbacks += 1
+                            scores[i] = eng.target_scores(a, int(ns[i]))
+                        idxs = [
+                            i for i in idxs if offset + i not in outliers
+                        ]
                     for j0 in range(0, len(idxs), cfg.batch_targets):
                         part = idxs[j0 : j0 + cfg.batch_targets]
                         b_pad = next(
@@ -449,27 +459,42 @@ def _run_stream_native(
         eng.close()
 
 
-def _choose_layout_native(eng, idxs: list[int], cfg: DagconConfig):
-    """choose_layout on native long-edge counts (no array export)."""
-    from pbdagcon_tpu.ops.dp import LongEdgeOverflow
+def _choose_layout_native(
+    eng, idxs: list[int], cfg: DagconConfig
+) -> tuple[int, int, set[int]]:
+    """choose_layout on native long-edge counts (no array export).
 
+    Returns (W, K, outliers). The long-edge register file costs
+    O(B*V*K) device work, so K is capped; the few targets whose
+    long-edge count exceeds the cap at every W go to the host fallback
+    instead of inflating the whole batch (they'd multiply everyone's
+    DP cost)."""
     w_ladder = cfg.w_buckets
-    k_ladder = (8, 32, 128, 512, 2048)
-    worst = np.zeros(len(w_ladder), dtype=np.int64)
-    for i in idxs:
-        np.maximum(worst, eng.long_counts(i, w_ladder), out=worst)
+    k_ladder = (8, 32, 128)
+    counts = {i: eng.long_counts(i, w_ladder) for i in idxs}
+    k_cap = k_ladder[-1]
+    outliers = {
+        i for i in idxs if all(c > k_cap for c in counts[i])
+    }
+    fit = [i for i in idxs if i not in outliers]
     best = None
     best_cost = None
     for wi, W in enumerate(w_ladder):
-        K = next((k for k in k_ladder if k >= worst[wi]), None)
+        worst = max((int(counts[i][wi]) for i in fit), default=0)
+        K = next((k for k in k_ladder if k >= worst), None)
         if K is None:
             continue
-        cost = 2 * W + K / 8
+        cost = 2 * W + K / 2
         if best_cost is None or cost < best_cost:
             best, best_cost = (W, K), cost
     if best is None:
-        raise LongEdgeOverflow("no (W, K) bucket fits")
-    return best
+        # No single (W, K) fits everyone: push per-target misfits out.
+        W = w_ladder[-1]
+        for i in fit:
+            if counts[i][-1] > k_cap:
+                outliers.add(i)
+        best = (W, k_cap)
+    return best[0], best[1], outliers
 
 
 def run_stream(
