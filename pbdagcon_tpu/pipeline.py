@@ -350,8 +350,14 @@ def _run_stream_native(
                         idxs = [
                             i for i in idxs if offset + i not in outliers
                         ]
-                    for j0 in range(0, len(idxs), cfg.batch_targets):
-                        part = idxs[j0 : j0 + cfg.batch_targets]
+                    # The tunnel hangs on single transfers over ~64MB;
+                    # cap the per-dispatch batch so the band tensor
+                    # stays under 48MB.
+                    part_cap = max(
+                        32, min(cfg.batch_targets, 48_000_000 // (V * W * 2))
+                    )
+                    for j0 in range(0, len(idxs), part_cap):
+                        part = idxs[j0 : j0 + part_cap]
                         b_pad = next(
                             (b for b in _B_LADDER if b >= len(part)),
                             len(part),
