@@ -351,10 +351,14 @@ def _run_stream_native(
                             i for i in idxs if offset + i not in outliers
                         ]
                     # The tunnel hangs on single transfers over ~64MB;
-                    # cap the per-dispatch batch so the band tensor
-                    # stays under 48MB.
-                    part_cap = max(
+                    # cap the per-dispatch batch (snapped DOWN to a pad
+                    # ladder value so padding can't round back up) so
+                    # the band tensor stays under 48MB.
+                    raw_cap = max(
                         32, min(cfg.batch_targets, 48_000_000 // (V * W * 2))
+                    )
+                    part_cap = max(
+                        (b for b in _B_LADDER if b <= raw_cap), default=32
                     )
                     for j0 in range(0, len(idxs), part_cap):
                         part = idxs[j0 : j0 + part_cap]
