@@ -362,10 +362,11 @@ def _run_stream_native(
                     )
                     for j0 in range(0, len(idxs), part_cap):
                         part = idxs[j0 : j0 + part_cap]
-                        b_pad = next(
-                            (b for b in _B_LADDER if b >= len(part)),
-                            len(part),
-                        )
+                        # Pad partial batches all the way to part_cap:
+                        # one compiled shape per bucket beats saving a
+                        # little padded compute (tunnel compiles are
+                        # minutes).
+                        b_pad = part_cap
                         batch = eng.pack_batch(
                             [offset + i for i in part], V, W, K, b_pad=b_pad
                         )
