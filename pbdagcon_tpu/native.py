@@ -349,18 +349,33 @@ class NativeEngine:
         (same contract as `ops.dp.pad_batch`). Raises LongEdgeOverflow
         on any target that does not fit. `b_pad` pads the batch dim at
         allocation time (rows beyond len(idxs) stay empty: no edges)."""
-        from pbdagcon_tpu.ops.dp import LongEdgeOverflow
+        from pbdagcon_tpu.ops.dp import LongEdgeOverflow, arena_layout
 
         B = len(idxs)
         Bp = max(b_pad or B, B)
         ia = np.asarray(idxs, dtype=np.int32)
-        win = np.full((Bp, V, W), -1, dtype=np.int16)
-        exit_c = np.full((Bp, V), -1, dtype=np.int16)
-        cov = np.zeros((Bp, V), dtype=np.int16)
-        unsup = np.zeros((Bp, V), dtype=np.uint8)
-        long_u = np.full((Bp, K), -1, dtype=np.int32)
-        long_w = np.full((Bp, K), -1, dtype=np.int32)
-        long_esc = np.full((Bp, K), -np.inf, dtype=np.float32)
+        # One contiguous arena: the caller can upload the whole batch in
+        # a single transfer (per-transfer fixed costs dominate tunneled
+        # links). Each array is a view into it.
+        off = arena_layout(Bp, V, W, K)
+        arena = np.zeros(off["_total"], dtype=np.uint8)
+
+        def view(name, dtype, shape):
+            a, b = off[name]
+            return arena[a:b].view(dtype).reshape(shape)
+
+        win = view("win_count", np.int16, (Bp, V, W))
+        win[:] = -1
+        exit_c = view("exit_count", np.int16, (Bp, V))
+        exit_c[:] = -1
+        cov = view("cov", np.int16, (Bp, V))
+        unsup = view("unsup", np.uint8, (Bp, V))
+        long_u = view("long_u", np.int32, (Bp, K))
+        long_u[:] = -1
+        long_w = view("long_w", np.int32, (Bp, K))
+        long_w[:] = -1
+        long_esc = view("long_esc", np.float32, (Bp, K))
+        long_esc[:] = -np.inf
 
         def p(a, typ):
             return a.ctypes.data_as(ctypes.POINTER(typ))
@@ -385,4 +400,6 @@ class NativeEngine:
             "long_u": long_u,
             "long_w": long_w,
             "long_esc": long_esc,
+            "_arena": arena,
+            "_dims": (Bp, V, W, K),
         }

@@ -228,9 +228,8 @@ def _pad_b(batch: dict) -> dict:
         return batch
     out = {}
     for k, v in batch.items():
-        if k == "n":
-            out[k] = v
-            continue
+        if k == "n" or k.startswith("_"):
+            continue  # meta / host-only entries
         pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
         if k in ("win_count", "exit_count", "long_u", "long_w"):
             pad[:] = -1
@@ -300,6 +299,104 @@ class _CompressedScores:
         return s if dtype is None else s.astype(dtype)
 
 
+def arena_layout(B: int, V: int, W: int, K: int) -> dict:
+    """Byte offsets of the single-buffer batch arena (one upload per
+    dispatch — each separate host->device transfer has ~100ms fixed cost
+    on tunneled backends). All offsets 4-byte aligned."""
+    off = {}
+    o = 0
+
+    def take(name, nbytes):
+        nonlocal o
+        off[name] = (o, o + nbytes)
+        o += -(-nbytes // 4) * 4  # keep 4-byte alignment
+
+    take("win_count", B * V * W * 2)
+    take("exit_count", B * V * 2)
+    take("cov", B * V * 2)
+    take("unsup", B * V)
+    take("long_u", B * K * 4)
+    take("long_w", B * K * 4)
+    take("long_esc", B * K * 4)
+    off["_total"] = o
+    return off
+
+
+def _unpack_arena(arena: jax.Array, B: int, V: int, W: int, K: int):
+    off = arena_layout(B, V, W, K)
+
+    def u8(name):
+        a, b = off[name]
+        return jax.lax.slice(arena, (a,), (b,))
+
+    def as_i16(name, shape):
+        x = u8(name).reshape(-1, 2)
+        return jax.lax.bitcast_convert_type(x, jnp.int16).reshape(shape)
+
+    def as_i32(name, shape):
+        x = u8(name).reshape(-1, 4)
+        return jax.lax.bitcast_convert_type(x, jnp.int32).reshape(shape)
+
+    def as_f32(name, shape):
+        x = u8(name).reshape(-1, 4)
+        return jax.lax.bitcast_convert_type(x, jnp.float32).reshape(shape)
+
+    return (
+        as_i16("win_count", (B, V, W)),
+        as_i16("exit_count", (B, V)),
+        as_i16("cov", (B, V)),
+        u8("unsup").reshape(B, V) != 0,
+        as_i32("long_u", (B, K)),
+        as_i32("long_w", (B, K)),
+        as_f32("long_esc", (B, K)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K"))
+def _dp_scores_arena(arena: jax.Array, B: int, V: int, W: int, K: int):
+    args = _unpack_arena(arena, B, V, W, K)
+    return _compress_scores(dp_scores(*args))
+
+
+def submit_arena_scores(
+    arena: np.ndarray, B: int, V: int, W: int, K: int
+) -> "jax.Array":
+    """One-upload, one-dispatch, one-fetch DP: the arena holds the whole
+    packed batch (see `arena_layout`); the result is the packed
+    compressed-score buffer (`_CompressedScores`-compatible stream with
+    no fallback handle — rows that fail compression re-run via
+    `dp_scores` on the arena)."""
+    dev = jnp.asarray(arena)
+    packed = _dp_scores_arena(dev, B=B, V=V, W=W, K=K)
+    return _ArenaScores(dev, packed, B, V, W, K)
+
+
+class _ArenaScores:
+    """np.asarray()-able future over the arena DP result."""
+
+    def __init__(self, arena_dev, packed, B, V, W, K):
+        self._arena = arena_dev
+        self._packed = packed
+        self._dims = (B, V, W, K)
+
+    def __array__(self, dtype=None, copy=None):
+        p = np.asarray(self._packed)
+        ok = p[:, 4] != 0
+        if not ok.all():
+            B, V, W, K = self._dims
+            args = _unpack_arena(self._arena, B, V, W, K)
+            s = np.asarray(dp_scores(*args))
+        else:
+            s0 = p[:, 0:4].copy().view(np.float32).reshape(-1)
+            d8 = p[:, 5:].view(np.int8)
+            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
+            h = h - np.cumsum(d8.astype(np.int64), axis=1)
+            s = np.empty((p.shape[0], d8.shape[1] + 1), np.float32)
+            s[:, 0] = s0
+            s[:, 1:] = h.astype(np.float64) / 2.0
+        return s if dtype is None else s.astype(dtype)
+
+
 class _BlockedFuture:
     """Async result of the blocked DP; np.asarray() materializes it and
     transparently re-runs unconverged rows through the sequential scan
@@ -329,7 +426,13 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
     (sqrt(V) depth) with a bit-exactness guard — falls back to the scan
     when path sums could round (see ops/dp_blocked.py) or when a row's
     long-edge iteration fails to converge; "pallas" handwritten kernel.
+
+    Batches packed into an arena (native pack_batch) take the
+    single-transfer fast path on the xla backend.
     """
+    if backend == "xla" and "_arena" in batch:
+        Bp, V, W, K = batch["_dims"]
+        return submit_arena_scores(batch["_arena"], Bp, V, W, K)
     batch = _pad_b(batch)
     if backend == "blocked":
         from pbdagcon_tpu.ops.dp_blocked import blocked_safe, dp_scores_blocked
