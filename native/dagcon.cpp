@@ -1185,6 +1185,96 @@ int dagcon_target_consensus(void* h, int idx, const float* scores,
 // Total complete target groups consumed so far (host-mode stats).
 long dagcon_engine_targets(void* h) { return ((Engine*)h)->targets_done; }
 
+// Pack a bucket batch in EDGE-CSR form (the band tensor is ~95% empty;
+// CSR cuts the host->device upload ~10x — the tunneled link is the
+// bottleneck). Streams are caller-allocated:
+//   eoff [B+1] i32; ue [E] i16; de [E] u8; ce [E] i16   (band edges)
+//   xoff [B+1] i32; xu [X] i16; xc [X] i16              (exit edges)
+//   cov [B,V] i16; unsup [B,V] u8 (dense)
+//   long_u/long_w [B,K] i32; long_esc [B,K] f32
+// Returns 0, or b+1 if target b cannot fit (n>V, >K long, cov>int16,
+// E/X capacity exceeded -> -1).
+int dagcon_pack_edges(void* h, const int32_t* idxs, int nidx, int V, int W,
+                      int K, long E_cap, long X_cap, int32_t* eoff,
+                      int16_t* ue, uint8_t* de, int16_t* ce, int32_t* xoff,
+                      int16_t* xu, int16_t* xc, int16_t* cov, uint8_t* unsup,
+                      int32_t* long_u, int32_t* long_w, float* long_esc) {
+  Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
+  // Pass 1 (serial): per-target offsets.
+  long etot = 0, xtot = 0;
+  for (int b = 0; b < nidx; ++b) {
+    eoff[b] = (int32_t)etot;
+    xoff[b] = (int32_t)xtot;
+    int idx = idxs[b];
+    if (idx < 0 || idx >= (int)e->linears.size()) return b + 1;
+    const Linear& l = e->linears[idx];
+    if (l.n > V) return b + 1;
+    long nb = 0, nx = 0, nk = 0;
+    for (int32_t u = 0; u < l.n; ++u) {
+      if (l.cov[u] > 32000) return b + 1;
+      for (int32_t ei = l.edge_off[u]; ei < l.edge_off[u + 1]; ++ei) {
+        int32_t w = l.edge_tgt[ei];
+        if (w >= l.n) {
+          ++nx;
+        } else if (w - u - 1 < W) {
+          ++nb;
+        } else {
+          if (++nk > K) return b + 1;
+        }
+      }
+    }
+    etot += nb;
+    xtot += nx;
+    if (etot > E_cap || xtot > X_cap) return -1;
+  }
+  eoff[nidx] = (int32_t)etot;
+  xoff[nidx] = (int32_t)xtot;
+  // Pass 2 (threaded): fill streams + dense arrays.
+  std::atomic<int> bad(0);
+  e->parallel_groups((size_t)nidx, [&](size_t b, Engine::Worker&) {
+    const Linear& l = e->linears[idxs[b]];
+    int16_t* cb = cov + b * (size_t)V;
+    uint8_t* ub = unsup + b * (size_t)V;
+    memset(cb, 0, (size_t)V * 2);
+    memset(ub, 0, (size_t)V);
+    int32_t* lub = long_u + b * (size_t)K;
+    int32_t* lwb = long_w + b * (size_t)K;
+    float* leb = long_esc + b * (size_t)K;
+    for (int k = 0; k < K; ++k) {
+      lub[k] = -1;
+      lwb[k] = -1;
+      leb[k] = -__builtin_inff();
+    }
+    long ep = eoff[b], xp = xoff[b];
+    int nk = 0;
+    for (int32_t u = 0; u < l.n; ++u) {
+      cb[u] = (int16_t)l.cov[u];
+      ub[u] = l.unsup[u];
+      for (int32_t ei = l.edge_off[u]; ei < l.edge_off[u + 1]; ++ei) {
+        int32_t w = l.edge_tgt[ei];
+        int32_t c = l.edge_cnt[ei];
+        if (w >= l.n) {
+          xu[xp] = (int16_t)u;
+          xc[xp] = (int16_t)c;
+          ++xp;
+        } else if (w - u - 1 < W) {
+          ue[ep] = (int16_t)u;
+          de[ep] = (uint8_t)(w - u - 1);
+          ce[ep] = (int16_t)c;
+          ++ep;
+        } else {
+          lub[nk] = u;
+          lwb[nk] = w;
+          leb[nk] = escore(l, w, c);
+          ++nk;
+        }
+      }
+    }
+  });
+  return bad.load();
+}
+
 // Enable/disable re-alignment of raw pairs (reference `dagcon -a`).
 void dagcon_engine_set_align(void* h, int align) {
   ((Engine*)h)->align = align;

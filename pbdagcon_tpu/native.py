@@ -106,6 +106,13 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, i16p, i16p, i16p, u8p, i32p, i32p, f32p,
     ]
+    lib.dagcon_pack_edges.restype = ctypes.c_int
+    lib.dagcon_pack_edges.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, ctypes.c_long,
+        i32p, i16p, u8p, i16p, i32p, i16p, i16p, i16p, u8p,
+        i32p, i32p, f32p,
+    ]
     lib.dagcon_clear_linears.restype = None
     lib.dagcon_clear_linears.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_engine_set_align.restype = None
@@ -301,6 +308,73 @@ class NativeEngine:
             return ctypes.string_at(out, out_len.value).decode()
         finally:
             self._lib.dagcon_free(out)
+
+    def pack_edges(
+        self,
+        idxs: list[int],
+        V: int,
+        W: int,
+        K: int,
+        b_pad: int,
+        e_pad: int,
+        x_pad: int,
+    ) -> dict:
+        """Edge-CSR batch packing into one arena buffer (threaded C++).
+        The caller sizes e_pad/x_pad from metas (total edge counts,
+        padded to a stable bucket). Raises LongEdgeOverflow when a
+        target or the capacity doesn't fit."""
+        from pbdagcon_tpu.ops.dp import LongEdgeOverflow, edges_layout
+
+        B = len(idxs)
+        Bp = max(b_pad, B)
+        off = edges_layout(Bp, V, K, e_pad, x_pad)
+        arena = np.zeros(off["_total"], dtype=np.uint8)
+
+        def view(name, dtype, shape):
+            a, b = off[name]
+            return arena[a:b].view(dtype).reshape(shape)
+
+        eoff = view("eoff", np.int32, (Bp + 1,))
+        ue = view("ue", np.int16, (e_pad,))
+        de = view("de", np.uint8, (e_pad,))
+        ce = view("ce", np.int16, (e_pad,))
+        xoff = view("xoff", np.int32, (Bp + 1,))
+        xu = view("xu", np.int16, (x_pad,))
+        xc = view("xc", np.int16, (x_pad,))
+        cov = view("cov", np.int16, (Bp, V))
+        unsup = view("unsup", np.uint8, (Bp, V))
+        long_u = view("long_u", np.int32, (Bp, K))
+        long_u[:] = -1
+        long_w = view("long_w", np.int32, (Bp, K))
+        long_w[:] = -1
+        long_esc = view("long_esc", np.float32, (Bp, K))
+        long_esc[:] = -np.inf
+
+        ia = np.asarray(idxs, dtype=np.int32)
+
+        def p(a, typ):
+            return a.ctypes.data_as(ctypes.POINTER(typ))
+
+        rc = self._lib.dagcon_pack_edges(
+            self._h, p(ia, ctypes.c_int32), B, V, W, K, e_pad, x_pad,
+            p(eoff, ctypes.c_int32), p(ue, ctypes.c_int16),
+            p(de, ctypes.c_uint8), p(ce, ctypes.c_int16),
+            p(xoff, ctypes.c_int32), p(xu, ctypes.c_int16),
+            p(xc, ctypes.c_int16), p(cov, ctypes.c_int16),
+            p(unsup, ctypes.c_uint8), p(long_u, ctypes.c_int32),
+            p(long_w, ctypes.c_int32), p(long_esc, ctypes.c_float),
+        )
+        if rc != 0:
+            raise LongEdgeOverflow(
+                f"pack_edges: target/capacity does not fit (rc={rc})"
+            )
+        # Pad rows B..Bp get empty edge ranges.
+        eoff[B + 1 :] = eoff[B]
+        xoff[B + 1 :] = xoff[B]
+        return {
+            "_edges_arena": arena,
+            "_dims": (Bp, V, W, K, e_pad, x_pad),
+        }
 
     def iter_linears(self, count: int) -> Iterator[LinearGraph]:
         for i in range(count):

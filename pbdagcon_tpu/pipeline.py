@@ -367,9 +367,22 @@ def _run_stream_native(
                         # little padded compute (tunnel compiles are
                         # minutes).
                         b_pad = part_cap
-                        batch = eng.pack_batch(
-                            [offset + i for i in part], V, W, K, b_pad=b_pad
-                        )
+                        if backend == "xla":
+                            # Edge-CSR arena: ~10x less upload; dense
+                            # band scatter-reconstructed on device.
+                            tot_e = int(
+                                sum(int(metas[i, 2]) for i in part)
+                            )
+                            e_pad = 1 << max(14, (tot_e - 1).bit_length())
+                            batch = eng.pack_edges(
+                                [offset + i for i in part], V, W, K,
+                                b_pad=b_pad, e_pad=e_pad, x_pad=e_pad // 4,
+                            )
+                        else:
+                            batch = eng.pack_batch(
+                                [offset + i for i in part], V, W, K,
+                                b_pad=b_pad,
+                            )
                         fut = submit_packed_scores(batch, backend=backend)
                         stats.batches += 1
                         futures.append((part, fut))

@@ -169,3 +169,43 @@ def test_native_pack_batch_matches_python():
             got = eng.long_counts(i, (8, 16, 32))
             want = [(spans > W_).sum() for W_ in (8, 16, 32)]
             np.testing.assert_array_equal(got, want)
+
+
+def test_native_pack_edges_roundtrip():
+    """Edge-CSR arena -> device scatter reconstruction == dense pack."""
+    import jax
+
+    from pbdagcon_tpu.ops.dp import (
+        _edges_to_scores, dp_scores, pad_batch,
+    )
+    import jax.numpy as jnp
+
+    text = _m5_text(19, n_targets=5, cov=18)
+    with native.NativeEngine(min_weight=8, min_length=50) as eng:
+        count = eng.linearize_text(text.encode())
+        lins = [eng.get_linear(i) for i in range(count)]
+        V, W, K = 2048, 16, 32
+        dense = pad_batch(lins, V, W, K)
+        s_ref = np.asarray(
+            dp_scores(
+                jnp.asarray(dense["win_count"]),
+                jnp.asarray(dense["exit_count"]),
+                jnp.asarray(dense["cov"]),
+                jnp.asarray(dense["unsup"]),
+                jnp.asarray(dense["long_u"]),
+                jnp.asarray(dense["long_w"]),
+                jnp.asarray(dense["long_esc"]),
+            )
+        )
+        eb = eng.pack_edges(
+            list(range(count)), V, W, K, b_pad=count, e_pad=1 << 14,
+            x_pad=1 << 12,
+        )
+        Bp, V2, W2, K2, E, X = eb["_dims"]
+        s_edges = np.asarray(
+            _edges_to_scores(
+                jnp.asarray(eb["_edges_arena"]), B=Bp, V=V2, W=W2, K=K2,
+                E=E, X=X,
+            )
+        )
+        np.testing.assert_array_equal(s_edges[:count], s_ref)
