@@ -350,11 +350,16 @@ def edges_layout(B: int, V: int, K: int, E: int, X: int) -> dict:
     return off
 
 
-def _edges_to_scores(
+@functools.partial(
+    jax.jit, static_argnames=("B", "V", "W", "K", "E", "X")
+)
+def _reconstruct_edges(
     arena: jax.Array, B: int, V: int, W: int, K: int, E: int, X: int
 ):
-    """Unpack the CSR arena, scatter-build the dense band on device, run
-    the scan. Traced helper shared by the packed/full entry points."""
+    """Unpack the CSR arena and scatter-build the dense arrays on
+    device. Kept as its OWN small jit program (fast to compile) whose
+    int16/bool outputs feed the already-compiled dense `dp_scores` and
+    `_compress_scores` programs."""
     off = edges_layout(B, V, K, E, X)
 
     def u8(name):
@@ -382,31 +387,30 @@ def _edges_to_scores(
     # extra row that is dropped after the scatter).
     pos = jnp.arange(E, dtype=jnp.int32)
     be = jnp.searchsorted(eoff, pos, side="right") - 1
-    flat = jnp.full(((B + 1) * V * W,), -1, jnp.int32)
-    flat = flat.at[(be * V + ue) * W + de].set(ce)
+    flat = jnp.full(((B + 1) * V * W,), -1, jnp.int16)
+    flat = flat.at[(be * V + ue) * W + de].set(ce.astype(jnp.int16))
     win = flat.reshape(B + 1, V, W)[:B]
 
     posx = jnp.arange(X, dtype=jnp.int32)
     bx = jnp.searchsorted(xoff, posx, side="right") - 1
-    xflat = jnp.full(((B + 1) * V,), -1, jnp.int32)
-    xflat = xflat.at[bx * V + xu].set(xc)
+    xflat = jnp.full(((B + 1) * V,), -1, jnp.int16)
+    xflat = xflat.at[bx * V + xu].set(xc.astype(jnp.int16))
     exit_c = xflat.reshape(B + 1, V)[:B]
 
-    return dp_scores(win, exit_c, cov, unsup, long_u, long_w, long_esc)
+    return win, exit_c, cov, unsup, long_u, long_w, long_esc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("B", "V", "W", "K", "E", "X")
-)
+def _edges_to_scores(arena, B, V, W, K, E, X):
+    dense = _reconstruct_edges(arena, B=B, V=V, W=W, K=K, E=E, X=X)
+    return dp_scores(*dense)
+
+
 def _dp_scores_edges(arena, B, V, W, K, E, X):
     return _compress_scores(
         _edges_to_scores(arena, B=B, V=V, W=W, K=K, E=E, X=X)
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("B", "V", "W", "K", "E", "X")
-)
 def _dp_scores_edges_uncompressed(arena, B, V, W, K, E, X):
     return _edges_to_scores(arena, B=B, V=V, W=W, K=K, E=E, X=X)
 
