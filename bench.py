@@ -165,12 +165,16 @@ def main() -> int:
             W, K, outliers = _choose_layout_native(eng, idxs, cfg)
             idxs = [i for i in idxs if i not in outliers]
             V = cfg.v_buckets[0]
-            metas = eng.metas(len(idxs))
-            tot_e = int(metas[:, 2].sum())
-            e_pad = 1 << max(14, (tot_e - 1).bit_length())
-            batch = eng.pack_edges(
-                idxs, V, W, K, b_pad=256, e_pad=e_pad, x_pad=e_pad // 4
-            )
+            if os.environ.get("DAGCON_EDGE_UPLOAD", "0") == "1":
+                metas = eng.metas(len(idxs))
+                tot_e = int(metas[:, 2].sum())
+                e_pad = 1 << max(14, (tot_e - 1).bit_length())
+                batch = eng.pack_edges(
+                    idxs, V, W, K, b_pad=256, e_pad=e_pad,
+                    x_pad=e_pad // 4,
+                )
+            else:
+                batch = eng.pack_batch(idxs, V, W, K, b_pad=256)
             np.asarray(submit_packed_scores(batch, backend=backend))  # warm
             t = time.time()
             reps = 3

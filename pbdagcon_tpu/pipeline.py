@@ -367,9 +367,15 @@ def _run_stream_native(
                         # little padded compute (tunnel compiles are
                         # minutes).
                         b_pad = part_cap
-                        if backend == "xla":
+                        import os as _os
+
+                        if backend == "xla" and _os.environ.get(
+                            "DAGCON_EDGE_UPLOAD", "0"
+                        ) == "1":
                             # Edge-CSR arena: ~10x less upload; dense
                             # band scatter-reconstructed on device.
+                            # Opt-in: the scatter program's AOT compile
+                            # is minutes on tunneled backends.
                             tot_e = int(
                                 sum(int(metas[i, 2]) for i in part)
                             )
