@@ -146,6 +146,21 @@ def main() -> int:
         log("FATAL: device FASTA != single-core C++ FASTA (parity broken)")
         return 1
 
+    # ---- all-threads host mode (framework's best on this box) ----
+    with native.NativeEngine(
+        min_weight=cfg.min_weight, min_length=cfg.min_length,
+        threads=cfg.threads, align=cfg.align,
+    ) as eng:
+        t = time.time()
+        fasta_mt = eng.consensus_text(text, fmt=cfg.fmt)
+        mt_dt = time.time() - t
+    host_mt_rate = base_bases / mt_dt
+    if fasta_mt != fasta_host:
+        log("FATAL: multithreaded FASTA != single-core FASTA")
+        return 1
+    log(f"bench: host {cfg.threads}-thread: {mt_dt:.2f}s "
+        f"({host_mt_rate:,.0f} b/s)")
+
     # ---- kernel-level metric: consensus DP, device vs one host core ----
     # (the stage the chip owns; end-to-end is host-bound on this 4-core
     # dev box, so the per-stage ratio shows the chip's real headroom)
@@ -223,6 +238,10 @@ def main() -> int:
                 "parity": "device FASTA == single-core FASTA",
                 "dp_device_targets_per_s_resident": round(dp_dev_rate, 1),
                 "dp_host_1core_targets_per_s": round(dp_host_rate, 1),
+                "host_allthreads_bases_per_s": round(host_mt_rate, 1),
+                "host_allthreads_vs_baseline": round(
+                    host_mt_rate / base_rate, 3
+                ),
             }
         )
     )
