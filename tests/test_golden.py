@@ -80,3 +80,30 @@ def test_shard_and_journal_cli(tmp_path, capsys):
                "--journal", str(j)])
     assert rc == 0
     assert capsys.readouterr().out == ""  # everything journaled
+
+
+PRE = os.path.join(DATA, "golden2.pre")
+EXPECTED2 = open(os.path.join(DATA, "golden2.fa")).read()
+
+
+@pytest.mark.parametrize("backend,use_native,align_backend", [
+    ("host", False, "host"),
+    ("host", True, "host"),
+    ("xla", True, "host"),
+    ("xla", False, "device"),
+    ("xla", True, "device"),
+])
+def test_golden_align_mode(backend, use_native, align_backend):
+    if use_native and not native.available():
+        pytest.skip("native library not built")
+    out = _io.StringIO()
+    with open(PRE) as f:
+        run_stream(
+            f, FastaWriter(out),
+            DagconConfig(
+                min_weight=5, min_length=80, fmt="pre", align=True,
+                backend=backend, use_native=use_native,
+                align_backend=align_backend,
+            ),
+        )
+    assert out.getvalue() == EXPECTED2
