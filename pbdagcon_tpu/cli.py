@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile-dir", default=None, metavar="DIR",
         help="write a jax.profiler trace of the run to DIR",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host pod run: jax.distributed.initialize() (reads "
+        "the standard coordinator env vars) and default --shard to "
+        "process_index/process_count; each host writes its own output",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -111,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
         batch_targets=args.batch_targets,
     )
     stream = open_input(args.input)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+        if not args.shard:
+            args.shard = f"{jax.process_index()}/{jax.process_count()}"
 
     journal = None
     if args.journal:
