@@ -243,6 +243,42 @@ static void trim_aln(Alignment& a, int32_t n) {
 
 // -------------------------------------------------------------- aligner
 
+#if defined(__AVX512F__) || defined(__AVX2__)
+#include <immintrin.h>
+#include <climits>
+#endif
+
+// Prefix max over int32 with an initial carry (integer max is exact
+// under any association, so the SIMD log-step scan is bit-safe).
+static inline void prefix_max_i32(int32_t* x, int n, int32_t carry) {
+#if defined(__AVX512F__)
+  int j = 0;
+  __m512i c = _mm512_set1_epi32(carry);
+  const __m512i ninf = _mm512_set1_epi32(INT32_MIN);
+  for (; j + 16 <= n; j += 16) {
+    __m512i v = _mm512_loadu_si512((const void*)(x + j));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 15));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 14));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 12));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 8));
+    v = _mm512_max_epi32(v, c);
+    _mm512_storeu_si512((void*)(x + j), v);
+    c = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+  }
+  int32_t run = _mm_cvtsi128_si32(_mm512_castsi512_si128(c));
+  for (; j < n; ++j) {
+    if (x[j] > run) run = x[j];
+    x[j] = run;
+  }
+#else
+  int32_t run = carry;
+  for (int j = 0; j < n; ++j) {
+    if (x[j] > run) run = x[j];
+    x[j] = run;
+  }
+#endif
+}
+
 // Banded global pairwise aligner (SPEC §1.5) — the SimpleAligner
 // equivalent (reference `src/cpp/SimpleAligner.cpp` wraps blasr_libcpp's
 // guided aligner, SURVEY.md §2 C8; reconstructed, mount empty). Integer
@@ -352,14 +388,14 @@ static void align_pair(const std::string& q, const std::string& t,
         tmp[j - l] = v > u2 ? v : u2;
       }
     }
-    // Pass 2 (cheap scalar chain): left-gap prefix max.
-    int32_t run = get(i, l - 1);
-    for (int32_t j = l; j <= h; ++j) {
-      run = run + A_GAP;
-      int32_t v = tmp[j - l];
-      if (v > run) run = v;
-      row[j - l] = run;
-    }
+    // Pass 2: row[k] = max_{k'<=k}(tmp[k'] + GAP*(k-k')) with the left
+    // border as seed. In a-space (a[k] = tmp[k] - GAP*k) this is a
+    // prefix max — integer-exact under any association, so the SIMD
+    // scan is bit-identical to the serial chain.
+    const int32_t cnt2 = h - l + 1;
+    for (int32_t k = 0; k < cnt2; ++k) tmp[k] -= A_GAP * k;
+    prefix_max_i32(tmp, cnt2, get(i, l - 1) + A_GAP);
+    for (int32_t k = 0; k < cnt2; ++k) row[k] = tmp[k] + A_GAP * k;
   }
   // Traceback; tie-break diagonal > up (gap in t) > left (gap in q).
   std::string& qs = as.qs;
