@@ -78,6 +78,21 @@ def main() -> int:
     )
 
     backend = os.environ.get("BENCH_BACKEND", "xla")
+
+    # Probe a few targets to size the single V bucket for this workload
+    # (one compiled kernel shape; depth moves node counts a lot).
+    with native.NativeEngine(
+        min_weight=max(2, cov // 4), min_length=100,
+        threads=os.cpu_count() or 4, align=mode == "align",
+    ) as probe:
+        probe_text = "\n".join(lines[: 12 * cov]).encode() + b"\n"
+        cnt = probe.linearize_text(
+            probe_text, fmt="pre" if mode == "align" else "m5"
+        )
+        max_n = int(probe.metas(cnt)[:, 0].max()) if cnt else 4096
+    v_bucket = -(-int(max_n * 1.3) // 256) * 256
+    log(f"bench: probe max_n={max_n} -> V bucket {v_bucket}")
+
     cfg = DagconConfig(
         min_weight=max(2, cov // 4),
         min_length=100,
@@ -86,11 +101,8 @@ def main() -> int:
         batch_targets=512,
         fmt="pre" if mode == "align" else "m5",
         align=mode == "align",
-        # Single V bucket sized for this workload: one compiled kernel
-        # shape (axon has no persistent compile cache; each shape costs
-        # minutes over the tunnel).
-        v_buckets=(4608,),
-        w_buckets=(16,),
+        v_buckets=(v_bucket,),
+        w_buckets=(16, 32, 64),
     )
 
     def run_tpu() -> tuple[float, PipelineStats, str]:
