@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
         "the standard coordinator env vars) and default --shard to "
         "process_index/process_count; each host writes its own output",
     )
+    p.add_argument(
+        "--selfcheck", action="store_true",
+        help="debug: per target, assert graph invariants (no dangling "
+        "nodes — the reference danglingNodes() check) and that the "
+        "linearized DP reproduces the graph-walk consensus; slower "
+        "(Python oracle), output unchanged",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -144,6 +151,14 @@ def main(argv: list[str] | None = None) -> int:
             return journal is None or sid not in journal
 
         stream = filter_groups_text(stream, cfg.fmt, keep)
+
+    if args.selfcheck:
+        from pbdagcon_tpu.selfcheck import run_selfcheck
+
+        rc = run_selfcheck(stream, cfg)
+        if journal is not None:
+            journal.close()
+        return rc
 
     writer = FastaWriter(sys.stdout, width=args.width)
 

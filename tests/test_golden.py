@@ -107,3 +107,12 @@ def test_golden_align_mode(backend, use_native, align_backend):
             ),
         )
     assert out.getvalue() == EXPECTED2
+
+
+def test_selfcheck_cli(capsys):
+    from pbdagcon_tpu.cli import main
+
+    rc = main([M5, "-c", "6", "-m", "100", "--selfcheck"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "4/4 targets OK" in err
