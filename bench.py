@@ -129,7 +129,7 @@ def main() -> int:
         f"fallbacks={stats.host_fallbacks})"
     )
     best_dt = None
-    for rep in range(2):
+    for rep in range(3):
         dt, stats, fasta_dev = run_tpu()
         log(f"bench: device run {rep}: {dt:.2f}s")
         best_dt = dt if best_dt is None else min(best_dt, dt)
@@ -139,7 +139,7 @@ def main() -> int:
     # ---- single-core C++ baseline (reference stand-in) ----
     log("bench: single-core native C++ baseline...")
     base_dt = None
-    for rep in range(2):
+    for rep in range(3):
         with native.NativeEngine(
             min_weight=cfg.min_weight, min_length=cfg.min_length,
             threads=1, align=cfg.align,
