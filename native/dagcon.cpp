@@ -211,11 +211,6 @@ static void normalize_gaps(Alignment& a, NormScratch& ns) {
   a.recompute_end();
 }
 
-static void normalize_gaps(Alignment& a) {
-  NormScratch ns;
-  normalize_gaps(a, ns);
-}
-
 // SPEC §1.4: trim n aligned query bases off each end.
 static void trim_aln(Alignment& a, int32_t n) {
   if (n <= 0) return;
