@@ -362,11 +362,20 @@ def _run_stream_native(
                     )
                     for j0 in range(0, len(idxs), part_cap):
                         part = idxs[j0 : j0 + part_cap]
-                        # Pad partial batches all the way to part_cap:
-                        # one compiled shape per bucket beats saving a
-                        # little padded compute (tunnel compiles are
-                        # minutes).
-                        b_pad = part_cap
+                        # Pad to the next ladder size (few compiled
+                        # shapes, little padded compute), capped so no
+                        # transfer can exceed the link's hang threshold.
+                        b_pad = min(
+                            part_cap,
+                            next(
+                                (
+                                    b
+                                    for b in _B_LADDER
+                                    if b >= len(part)
+                                ),
+                                len(part),
+                            ),
+                        )
                         import os as _os
 
                         if backend == "xla" and _os.environ.get(
