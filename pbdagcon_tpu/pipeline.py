@@ -277,6 +277,12 @@ def _run_stream_native(
     eng = _native_engine(cfg)
     assert eng is not None
 
+    import os as _os
+
+    chunk_bytes = int(
+        _os.environ.get("DAGCON_CHUNK_MB", str(chunk_bytes >> 20))
+    ) << 20
+
     def chunks() -> Iterator[tuple[bytes, bool]]:
         if hasattr(stream, "read"):
             while True:
