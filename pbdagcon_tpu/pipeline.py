@@ -264,7 +264,7 @@ def _run_stream_native(
     cfg: DagconConfig,
     backend: str,
     stats: PipelineStats,
-    chunk_bytes: int = 8 << 20,
+    chunk_bytes: int = 16 << 20,
     journal=None,
 ) -> PipelineStats:
     """Native-loader path: C++ parse/normalize/graph/linearize (threaded),
