@@ -575,79 +575,77 @@ struct Graph {
     }
   }
 
-  void merge_in_nodes(int32_t n) {
-    // Groups precomputed from in_e[n] snapshot, keyed ascending base
-    // (in-edge order within a group). Allocation-free: candidates are
-    // stable-partitioned by base on the stack (same order as the
-    // oracle's ordered-map grouping).
-    int32_t cand[512];
-    uint8_t cbase[512];
-    int32_t nc = 0;
-    std::vector<int32_t> cand_heap;  // overflow path, rare
-    std::vector<uint8_t> cbase_heap;
-    const int32_t lim = 512;
+  // One depth-first merge frame: the snapshot of node `target`'s merge
+  // groups (out-degree-1 in-neighbors grouped by base), flattened into
+  // `nodes` with `off` group offsets, plus the next-group cursor `gi`.
+  // Frames are pooled in `merge_frames` (vectors keep capacity) so
+  // steady-state merging stays allocation-free.
+  struct MergeFrame {
+    int32_t target = -1;
+    std::vector<int32_t> nodes;  // group members, flattened
+    std::vector<int32_t> off;    // [ngroups+1] offsets into nodes
+    size_t gi = 0;               // next group to process
+    std::vector<int32_t> cand;   // scratch: candidates in in-edge order
+    std::vector<uint8_t> cbase;  // scratch: their bases
+    std::vector<uint8_t> dbase;  // scratch: distinct bases ascending
+  };
+  std::vector<MergeFrame> merge_frames;
+
+  // Snapshot node n's merge groups into frame f (same order semantics as
+  // the oracle: candidates in in-edge order, groups keyed by ascending
+  // base, only groups of >= 2 kept).
+  void fill_merge_frame(MergeFrame& f, int32_t n) {
+    f.target = n;
+    f.gi = 0;
+    f.nodes.clear();
+    f.off.assign(1, 0);
+    f.cand.clear();
+    f.cbase.clear();
     for (const REdge& r : in_e[n]) {
       if (outdeg[r.from] == 1) {
-        if (nc < lim) {
-          cand[nc] = r.from;
-          cbase[nc] = base[r.from];
-        } else {
-          if (nc == lim) {
-            cand_heap.assign(cand, cand + lim);
-            cbase_heap.assign(cbase, cbase + lim);
-          }
-          cand_heap.push_back(r.from);
-          cbase_heap.push_back(base[r.from]);
-        }
-        ++nc;
+        f.cand.push_back(r.from);
+        f.cbase.push_back(base[r.from]);
       }
     }
-    if (nc < 2) return;
-    const int32_t* cp = nc <= lim ? cand : cand_heap.data();
-    const uint8_t* bp = nc <= lim ? cbase : cbase_heap.data();
-    // Distinct bases present, ascending (alphabet is tiny — avoid a
-    // 256-slot presence table; this runs once per node).
-    uint8_t distinct[8];
-    int nd = 0;
-    std::vector<uint8_t> distinct_heap;
-    for (int32_t i = 0; i < nc; ++i) {
-      uint8_t b = bp[i];
-      bool seen = false;
-      for (int k = 0; k < nd && !seen; ++k)
-        seen = (nd <= 8 ? distinct[k] : distinct_heap[k]) == b;
-      if (!seen) {
-        if (nd < 8) {
-          distinct[nd] = b;
-        } else {
-          if (nd == 8) distinct_heap.assign(distinct, distinct + 8);
-          distinct_heap.push_back(b);
-        }
-        ++nd;
-      }
+    if (f.cand.size() < 2) return;
+    f.dbase.assign(f.cbase.begin(), f.cbase.end());
+    std::sort(f.dbase.begin(), f.dbase.end());
+    f.dbase.erase(std::unique(f.dbase.begin(), f.dbase.end()),
+                  f.dbase.end());
+    for (uint8_t bv : f.dbase) {
+      size_t start = f.nodes.size();
+      for (size_t i = 0; i < f.cand.size(); ++i)
+        if (f.cbase[i] == bv) f.nodes.push_back(f.cand[i]);
+      if (f.nodes.size() - start < 2)
+        f.nodes.resize(start);  // singleton: nothing to merge
+      else
+        f.off.push_back((int32_t)f.nodes.size());
     }
-    uint8_t* dp = nd <= 8 ? distinct : distinct_heap.data();
-    std::sort(dp, dp + nd);
-    for (int di = 0; di < nd; ++di) {
-      int32_t bv = dp[di];
-      // Group for base bv, in in-edge order.
-      int32_t group[512];
-      std::vector<int32_t> group_heap;
-      int32_t gn = 0;
-      for (int32_t i = 0; i < nc; ++i) {
-        if (bp[i] == (uint8_t)bv) {
-          if (gn < lim) group[gn] = cp[i];
-          else {
-            if (gn == lim) group_heap.assign(group, group + lim);
-            group_heap.push_back(cp[i]);
-          }
-          ++gn;
-        }
+  }
+
+  // Iterative depth-first merge (explicit frame stack): pathological
+  // merge chains (100-500x coverage pileups) must not overflow the call
+  // stack. Order is bit-identical to the recursive form: per node,
+  // groups are snapshotted up front and processed in ascending-base
+  // order; after a group merges into its survivor `a`, a's own groups
+  // are fully processed before this node's next group.
+  void merge_in_nodes(int32_t n0) {
+    if (merge_frames.empty()) merge_frames.emplace_back();
+    fill_merge_frame(merge_frames[0], n0);
+    size_t depth = 1;
+    while (depth) {
+      MergeFrame& f = merge_frames[depth - 1];
+      if (f.gi + 1 >= f.off.size()) {
+        --depth;
+        continue;
       }
-      if (gn < 2) continue;
-      const int32_t* gp = gn <= lim ? group : group_heap.data();
-      int32_t a = gp[0];
-      for (int32_t xi = 1; xi < gn; ++xi) {
-        int32_t x = gp[xi];
+      const int32_t lo = f.off[f.gi];
+      const int32_t hi = f.off[f.gi + 1];
+      ++f.gi;
+      const int32_t n = f.target;
+      const int32_t a = f.nodes[lo];
+      for (int32_t xi = lo + 1; xi < hi; ++xi) {
+        int32_t x = merge_frames[depth - 1].nodes[xi];
         weight[a] += weight[x];
         // cx = count of x->n (key lookup, parity with the oracle).
         int32_t cx = 0;
@@ -706,7 +704,10 @@ struct Graph {
         in_e[x].clear();
         deleted[x] = 1;
       }
-      merge_in_nodes(a);
+      // Descend into the survivor before this node's next group.
+      if (depth == merge_frames.size()) merge_frames.emplace_back();
+      fill_merge_frame(merge_frames[depth], a);
+      ++depth;
     }
   }
 };
@@ -803,9 +804,12 @@ static bool linearize(const Graph& g, const std::string& sid, Linear& lin) {
     lin.edge_off[i + 1] = (int32_t)lin.edge_tgt.size();
     ++i;
   }
+  // Keep a direct enter->exit edge (all-deletion records create one) as
+  // a virtual candidate with target n (escore = count, score 0); when
+  // strictly best the backtrack terminates immediately, matching the
+  // oracle's best_path which scores this edge like any other.
   for (const Edge& e : g.out_e[g.enter]) {
-    if (e.to == g.exit) continue;
-    lin.enter_tgt.push_back(lin_of[e.to]);
+    lin.enter_tgt.push_back(e.to == g.exit ? n : lin_of[e.to]);
     lin.enter_cnt.push_back(e.count);
   }
   return true;
@@ -934,6 +938,10 @@ struct Engine {
   std::mutex linears_mu;              // guards `linears` (producer thread
                                       // appends while consumer reads/clears)
   std::string error;
+  // Loud-failure accounting: records skipped (malformed / raw pair
+  // without -a) and groups dropped (backbone recovery or build failed).
+  std::atomic<long> dropped_records{0};
+  std::atomic<long> dropped_groups{0};
 
   void feed(const char* text, size_t len, int fmt, bool flush) {
     std::string buf;
@@ -967,6 +975,7 @@ struct Engine {
           pending_group.alns.push_back(std::move(a));
         } else if (nl > p + 1 || *p != '\r') {
           error = "malformed record";
+          ++dropped_records;
         }
       }
       p = nl < end ? nl + 1 : end;
@@ -1005,7 +1014,8 @@ struct Engine {
         a.tstr.swap(wk.at);
         a.recompute_end();
       } else if (a.qstr.size() != a.tstr.size()) {
-        continue;  // raw pair without -a: skip record
+        ++dropped_records;  // raw pair without -a: skip record (counted)
+        continue;
       }
       if (trim > 0) trim_aln(a, trim);
       normalize_gaps(a, wk.ns);
@@ -1047,7 +1057,10 @@ struct Engine {
     std::vector<std::string> results(count);
     parallel_groups(count, [&](size_t i, Worker& wk) {
       Linear lin;
-      if (!build_one(ready[i], lin, wk)) return;
+      if (!build_one(ready[i], lin, wk)) {
+        ++dropped_groups;
+        return;
+      }
       host_scores(lin, wk.score);
       backtrack(lin, wk.score.data(), wk.path);
       emit_consensus(lin, wk.path, min_weight, min_length, results[i]);
@@ -1067,6 +1080,7 @@ struct Engine {
     std::vector<uint8_t> ok(count, 0);
     parallel_groups(count, [&](size_t i, Worker& wk) {
       ok[i] = build_one(ready[i], built[i], wk) ? 1 : 0;
+      if (!ok[i]) ++dropped_groups;
     });
     // Splice successes into the retained list under the lock.
     std::lock_guard<std::mutex> lk(linears_mu);
@@ -1144,6 +1158,17 @@ int dagcon_linearize_text(void* h, const char* text, long len, int fmt,
 // Drop the first `upto` retained targets (after emission).
 void dagcon_clear_linears(void* h, int upto) {
   ((Engine*)h)->clear_linears(upto);
+}
+
+// Loud-failure status: fills dropped record/group counters; returns 1 if
+// a parse error was recorded (same condition dagcon_consensus_text
+// reports), else 0. Lets loader-mode callers surface errors too.
+int dagcon_engine_status(void* h, long* dropped_records,
+                         long* dropped_groups) {
+  Engine* e = (Engine*)h;
+  if (dropped_records) *dropped_records = e->dropped_records.load();
+  if (dropped_groups) *dropped_groups = e->dropped_groups.load();
+  return e->error.empty() ? 0 : 1;
 }
 
 // meta[0]=n, meta[1]=span, meta[2]=n_edges, meta[3]=n_enter,
@@ -1243,9 +1268,14 @@ int dagcon_pack_edges(void* h, const int32_t* idxs, int nidx, int V, int W,
     if (l.n > V) return b + 1;
     long nb = 0, nx = 0, nk = 0;
     for (int32_t u = 0; u < l.n; ++u) {
+      // int16 wire guards: edge counts can exceed per-column coverage
+      // (merged boundary insertion nodes accumulate votes from every
+      // read in the pileup), so check the counts, not just cov.
       if (l.cov[u] > 32000) return b + 1;
       for (int32_t ei = l.edge_off[u]; ei < l.edge_off[u + 1]; ++ei) {
         int32_t w = l.edge_tgt[ei];
+        if (l.edge_cnt[ei] > 32000 && (w >= l.n || w - u - 1 < W))
+          return b + 1;
         if (w >= l.n) {
           ++nx;
         } else if (w - u - 1 < W) {
@@ -1392,7 +1422,8 @@ int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
     }
     int nk = 0;
     for (int32_t u = 0; u < l.n; ++u) {
-      if (l.cov[u] > 32000) {
+      // int16 wire guards (see dagcon_pack_edges): counts as well as cov.
+      if (l.cov[u] > 32000 || l.exit_count[u] > 32000) {
         int exp = 0;
         bad.compare_exchange_strong(exp, (int)b + 1);
         return;
@@ -1405,6 +1436,11 @@ int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
         if (w >= l.n) continue;
         int32_t d = w - u - 1;
         if (d < W) {
+          if (l.edge_cnt[ei] > 32000) {
+            int exp = 0;
+            bad.compare_exchange_strong(exp, (int)b + 1);
+            return;
+          }
           wb[(size_t)u * W + d] = (int16_t)l.edge_cnt[ei];
         } else {
           if (nk >= K) {

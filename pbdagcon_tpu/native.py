@@ -115,6 +115,8 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.dagcon_clear_linears.restype = None
     lib.dagcon_clear_linears.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dagcon_engine_status.restype = ctypes.c_int
+    lib.dagcon_engine_status.argtypes = [ctypes.c_void_p, c_long_p, c_long_p]
     lib.dagcon_engine_set_align.restype = None
     lib.dagcon_engine_set_align.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_align_pair.restype = ctypes.c_int
@@ -193,6 +195,17 @@ class NativeEngine:
         """Complete target groups consumed so far (host mode)."""
         return int(self._lib.dagcon_engine_targets(self._h))
 
+    def status(self) -> tuple[bool, int, int]:
+        """(has_error, dropped_records, dropped_groups) — loud-failure
+        accounting so loader-mode callers surface problems the same way
+        `consensus_text` does."""
+        drec = ctypes.c_long()
+        dgrp = ctypes.c_long()
+        rc = self._lib.dagcon_engine_status(
+            self._h, ctypes.byref(drec), ctypes.byref(dgrp)
+        )
+        return rc != 0, int(drec.value), int(dgrp.value)
+
     # -------------------------------------------------------- host mode
     def consensus_text(
         self, text: bytes, fmt: str = "m5", flush: bool = True
@@ -219,11 +232,16 @@ class NativeEngine:
         """Parse + build + merge + linearize complete groups; APPENDS to
         the retained target list and returns the number appended. Use
         `clear_linears(upto)` to release emitted targets from the front
-        (later indices shift down by `upto`)."""
-        return self._lib.dagcon_linearize_text(
+        (later indices shift down by `upto`). Raises ValueError on
+        malformed input (same policy as `consensus_text`)."""
+        n = self._lib.dagcon_linearize_text(
             self._h, text, len(text), 0 if fmt == "m5" else 1,
             1 if flush else 0,
         )
+        err, _, _ = self.status()
+        if err:
+            raise ValueError("malformed alignment record in input")
+        return n
 
     def clear_linears(self, upto: int) -> None:
         self._lib.dagcon_clear_linears(self._h, upto)

@@ -177,9 +177,16 @@ def pad_batch(
     for b, lin in enumerate(lins):
         if lin.n > V:
             raise ValueError(f"target {lin.sid}: n={lin.n} > bucket V={V}")
-        if int(lin.cov.max(initial=0)) > 32000:  # int16 wire-format guard
+        # int16 wire-format guards: edge counts can exceed per-column
+        # coverage (merged boundary insertion nodes accumulate votes from
+        # every read in the pileup), so check counts as well as cov.
+        if (
+            int(lin.cov.max(initial=0)) > 32000
+            or int(lin.exit_count.max(initial=0)) > 32000
+            or int(lin.edge_cnt.max(initial=0)) > 32000
+        ):
             raise LongEdgeOverflow(
-                f"target {lin.sid}: coverage exceeds int16 wire format"
+                f"target {lin.sid}: counts exceed int16 wire format"
             )
         interior = lin.edge_tgt < lin.n
         u_all = np.repeat(
@@ -443,8 +450,18 @@ def arena8_layout(B: int, V: int, W: int, K: int) -> dict:
 
 def _squeeze_arena8(batch: dict) -> np.ndarray | None:
     """Build the int8 arena from an int16-packed batch, or None if any
-    value exceeds int8 (depth >= 128)."""
-    if int(batch["cov"].max(initial=0)) > 127:
+    value exceeds int8 (depth >= 128).
+
+    Edge counts can exceed coverage (merged identical leading/trailing
+    insertion nodes accumulate votes from every read in the pileup, not
+    just the reads spanning one backbone column), so the guard must check
+    the counts themselves, not only `cov`.
+    """
+    if (
+        int(batch["cov"].max(initial=0)) > 127
+        or int(batch["win_count"].max(initial=0)) > 127
+        or int(batch["exit_count"].max(initial=0)) > 127
+    ):
         return None
     B, V, W = batch["win_count"].shape
     K = batch["long_u"].shape[1]

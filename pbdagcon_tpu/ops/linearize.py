@@ -161,12 +161,16 @@ def linearize(g: AlnGraph, sid: str = "") -> LinearGraph:
                 cnt_list.append(c)
         edge_off[i + 1] = len(tgt_list)
 
+    # Keep a direct enter->exit edge (all-deletion records create one) as
+    # a virtual candidate with target n: escore = count, score 0. When it
+    # is the strict best, the path terminates immediately — matching the
+    # oracle's best_path, which scores this edge like any other.
     enter_tgt = np.array(
-        [lin_of[w] for w in g.out_e[g.enter] if w != g.exit], dtype=np.int32
+        [n if w == g.exit else lin_of[w] for w in g.out_e[g.enter]],
+        dtype=np.int32,
     )
     enter_cnt = np.array(
-        [c for w, c in g.out_e[g.enter].items() if w != g.exit],
-        dtype=np.int32,
+        list(g.out_e[g.enter].values()), dtype=np.int32
     )
 
     return LinearGraph(

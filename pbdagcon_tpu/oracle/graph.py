@@ -133,15 +133,30 @@ class AlnGraph:
                     q.append(v)
         self._merged = True
 
-    def _merge_in_nodes(self, n: int) -> None:
-        groups: dict[int, list[int]] = {}
-        for s in self.in_e[n]:
-            if len(self.out_e[s]) == 1:
-                groups.setdefault(self.base[s], []).append(s)
-        for b in sorted(groups):
-            nodes = groups[b]
-            if len(nodes) < 2:
+    def _merge_in_nodes(self, n0: int) -> None:
+        # Iterative depth-first merge (explicit frame stack): deep merge
+        # chains in 100-500x-coverage pileups must not hit Python's
+        # recursion limit. Order is identical to the recursive form: per
+        # node, groups are snapshotted up front and processed in
+        # ascending-base order; after a group merges into its survivor
+        # `a`, a's own groups are fully processed before this node's
+        # next group (mirrors native/dagcon.cpp merge_in_nodes).
+        def groups_of(n: int) -> list[list[int]]:
+            groups: dict[int, list[int]] = {}
+            for s in self.in_e[n]:
+                if len(self.out_e[s]) == 1:
+                    groups.setdefault(self.base[s], []).append(s)
+            return [groups[b] for b in sorted(groups) if len(groups[b]) >= 2]
+
+        stack: list[list] = [[n0, groups_of(n0), 0]]
+        while stack:
+            top = stack[-1]
+            n, groups, gi = top
+            if gi >= len(groups):
+                stack.pop()
                 continue
+            top[2] = gi + 1
+            nodes = groups[gi]
             a = nodes[0]
             for x in nodes[1:]:
                 self.weight[a] += self.weight[x]
@@ -161,7 +176,8 @@ class AlnGraph:
                 del self.in_e[n][x]
                 self.in_e[x].clear()
                 self.deleted[x] = True
-            self._merge_in_nodes(a)
+            # Descend into the survivor before this node's next group.
+            stack.append([a, groups_of(a), 0])
 
     # ------------------------------------------------------------------
     def _alive(self) -> Iterable[int]:

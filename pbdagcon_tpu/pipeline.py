@@ -62,6 +62,11 @@ class PipelineStats:
     batches: int = 0
     pad_nodes: int = 0  # padded - real nodes (pad-waste measure)
     real_nodes: int = 0
+    # Loud-failure accounting: a genome-scale run must not lose input
+    # invisibly. Records skipped (raw pair without -a) and groups dropped
+    # (backbone recovery/build failed) are counted and logged.
+    dropped_records: int = 0
+    dropped_groups: int = 0
 
 
 def resolve_backend(cfg: DagconConfig) -> str:
@@ -87,7 +92,9 @@ def _bucket_of(x: int, ladder: tuple[int, ...]) -> int | None:
 
 
 def linearize_group(
-    group: TargetGroup, cfg: DagconConfig
+    group: TargetGroup,
+    cfg: DagconConfig,
+    stats: PipelineStats | None = None,
 ) -> LinearGraph:
     """Normalize/trim, build + merge the graph, linearize (host side)."""
     alns = group.alns
@@ -95,6 +102,19 @@ def linearize_group(
         from pbdagcon_tpu.aligner import align_record
 
         alns = [align_record(a) for a in alns]
+    else:
+        # Raw (ungapped) pairs without -a cannot be threaded; skip and
+        # count them, matching the native engine's policy.
+        kept = [a for a in alns if len(a.qstr) == len(a.tstr)]
+        if len(kept) != len(alns):
+            n_bad = len(alns) - len(kept)
+            log.warning(
+                "target %s: skipped %d raw record(s) without -a",
+                group.sid, n_bad,
+            )
+            if stats is not None:
+                stats.dropped_records += n_bad
+            alns = kept
     g = graph_from_group(group.backbone, alns, trim=cfg.trim)
     return linearize(g, sid=group.sid)
 
@@ -146,7 +166,7 @@ def run_pipeline(
 
     if backend == "host":
         for group in groups:
-            lin = linearize_group(group, cfg)
+            lin = linearize_group(group, cfg, stats)
             stats.targets += 1
             res = consensus_for_lin(lin, host_scores(lin), cfg)
             stats.fragments += len(res)
@@ -162,26 +182,33 @@ def run_pipeline(
 
     def flush() -> Iterator[tuple[str, list[CnsResult]]]:
         nonlocal pending, per_bucket
-        buckets: dict[int, list[LinearGraph]] = {}
-        for lin, grp in pending:
+        # Key results by pending-list position, NOT sid: repeated,
+        # non-consecutive target ids in one flush window are distinct
+        # groups and must emit distinct results.
+        buckets: dict[int, list[tuple[int, LinearGraph]]] = {}
+        for pi, (lin, grp) in enumerate(pending):
             if lin is not None:
                 V = _bucket_of(lin.n, cfg.v_buckets)
                 assert V is not None
-                buckets.setdefault(V, []).append(lin)
-        results: dict[str, list[CnsResult]] = {}
-        for V, lins in buckets.items():
-            for sid, res in _flush_bucket(lins, V, cfg, backend, stats):
-                results[sid] = res
-        for lin, grp in pending:
+                buckets.setdefault(V, []).append((pi, lin))
+        results: dict[int, list[CnsResult]] = {}
+        for V, entries in buckets.items():
+            lins = [l for _, l in entries]
+            # _flush_bucket yields one result per lin, in order.
+            for (pi, _), (_sid, res) in zip(
+                entries, _flush_bucket(lins, V, cfg, backend, stats)
+            ):
+                results[pi] = res
+        for pi, (lin, grp) in enumerate(pending):
             if lin is None:
                 assert grp is not None
                 stats.host_fallbacks += 1
-                hl = linearize_group(grp, cfg)
+                hl = linearize_group(grp, cfg, stats)
                 res = consensus_for_lin(hl, host_scores(hl), cfg)
                 sid = grp.sid
             else:
                 sid = lin.sid
-                res = results[sid]
+                res = results[pi]
             stats.fragments += len(res)
             stats.consensus_bases += sum(len(r.seq) for r in res)
             yield sid, res
@@ -190,7 +217,7 @@ def run_pipeline(
 
     for group in groups:
         stats.targets += 1
-        lin = linearize_group(group, cfg)
+        lin = linearize_group(group, cfg, stats)
         V = _bucket_of(lin.n, cfg.v_buckets)
         if V is None:
             pending.append((None, group))  # host fallback, keeps order
@@ -501,6 +528,17 @@ def _run_stream_native(
             raise producer_err[0]
         return stats
     finally:
+        try:
+            _, drec, dgrp = eng.status()
+            stats.dropped_records += drec
+            stats.dropped_groups += dgrp
+            if drec or dgrp:
+                log.warning(
+                    "input loss: %d records skipped, %d groups dropped",
+                    drec, dgrp,
+                )
+        except Exception:  # pragma: no cover - status is best-effort
+            pass
         eng.close()
 
 
