@@ -71,10 +71,17 @@ FLAG_SENTINEL_BASE = 4  # inserted base collides with ^/$ sentinels
 FLAG_TIE = 8  # ambiguous-key tie on the chosen path (backtrack)
 FLAG_OVERFLOW = 16  # capacity overflow in the fixed-shape device build
 
-# Creation-key ambiguity marker (see build_linear): compare keys with
+# Creation keys are 32-bit (device-friendly; JAX x64 is off):
+#   (phase:2b << 28) | (gpre:14b << 14) | (read:14b)
+# phase 0 = ctor, 1 = threaded, 2 = merge-redirected; gpre = GLOBAL
+# preorder rank of the merged node (nodes sorted by (termination, DFS
+# preorder)) — order-isomorphic to the (Kahn time, in-trie preorder)
+# event pair; read = creating/first-victim read index. Bit 30 marks
+# ambiguous keys (absorption-strip interactions): compare with
 # KEY_MASK; a score tie involving an uncertain key flags the target.
-KEY_UNCERTAIN = 1 << 62
+KEY_UNCERTAIN = 1 << 30
 KEY_MASK = KEY_UNCERTAIN - 1
+KEY_LIMIT = 1 << 14  # caps for gpre and read fields
 
 
 @dataclasses.dataclass
@@ -239,26 +246,24 @@ def build_linear(
     #   phase 0 = constructor chain edge (always first),
     #   phase 1 = thread-created, ordered by creating read index
     #             (each read creates at most one out-edge per node),
-    #   phase 2 = merge-redirected (appended at tails, in ascending
-    #             Kahn-pop order of the absorbing termination, then
-    #             victim read order).
+    #   phase 2 = merge-redirected (appended at tails), ordered by the
+    #             redirect event = global preorder rank of the merged
+    #             node, then victim read index.
     # An edge's key is its FIRST creation; later count bumps keep it.
-    # Phase-2 (redirect) events are ordered by (Kahn pop time tau of the
-    # termination whose merge performed the redirect, DFS-preorder rank
-    # of the merged node within its trie, victim read index). Bit 62
-    # marks keys whose exact event rank is ambiguous (absorption-strip
-    # interactions): such keys only matter if an actual score tie
-    # involves one, which the backtrack flags for host fallback.
+    # Keys whose exact event rank is ambiguous (absorption-strip
+    # interactions) carry KEY_UNCERTAIN: they only matter if an actual
+    # score tie involves one, which the backtrack flags for fallback.
     def key_int(
-        phase: int, tau: int = 0, pre: int = 0, rd: int = 0,
-        uncertain: bool = False,
+        phase: int, gpre: int = 0, rd: int = 0, uncertain: bool = False,
     ) -> int:
-        k = (phase << 60) | (tau << 44) | (pre << 22) | rd
+        k = (phase << 28) | (gpre << 14) | rd
         if uncertain:
             k |= KEY_UNCERTAIN
         return k
 
     KEY_CTOR = 0
+    if enc.ops.shape[0] >= KEY_LIMIT:
+        return None, FLAG_OVERFLOW, None
 
     # Transition counts keyed (p, q) -> [count, key]; grows during
     # absorption.
@@ -274,6 +279,7 @@ def build_linear(
 
     for p, q, r in transitions:
         bump(tcount, (p, q), 1, key_int(1, rd=r))
+
 
     # Static out-degree-1 backbone set: p (1..L) whose only successor is
     # p+1 — no skip transitions and no chain starts from p. (Absorption
@@ -329,7 +335,7 @@ def build_linear(
                 # uncertain.
                 bump(
                     tcount, (p, pm), 1,
-                    key_int(2, tau=t, rd=rd, uncertain=True),
+                    key_int(2, rd=rd, uncertain=True),
                 )
     final_recs = [r for i, r in enumerate(recs) if i not in dead] + strips
     final_recs.sort(key=lambda r: (r[3], r[0], r[1]))  # (t, phase, seq)
@@ -438,12 +444,15 @@ def build_linear(
     tgt_list: list[int] = []
     cnt_list: list[int] = []
 
-    # Preorder ranks (DFS, children ascending base, parent first): the
-    # rank of a node is the event time of its group's merge within its
-    # trie's Kahn pop — the phase-2 key ordering.
+    # Global preorder ranks (tries in ascending termination order; DFS
+    # within each trie, children ascending base, parent first): the rank
+    # of a node is the event time of its group's merge — the phase-2
+    # key ordering (order-isomorphic to (Kahn pop time, in-trie
+    # preorder)).
     pre_rank: dict[int, int] = {}
-    for t, root in tries.items():
-        k = 0
+    k = 0
+    for t in sorted(tries):
+        root = tries[t]
         stack = [root]
         while stack:
             nd = stack.pop()
@@ -452,8 +461,8 @@ def build_linear(
             if nd is not root:
                 pre_rank[id(nd)] = k
                 k += 1
-        if k >= (1 << 22) or t >= (1 << 16):
-            return None, FLAG_OVERFLOW, None
+    if k >= KEY_LIMIT:
+        return None, FLAG_OVERFLOW, None
 
     # Start edges grouped per source anchor:
     # p -> [(lin_tgt, count, key)]. A start edge keeps its thread
@@ -469,7 +478,7 @@ def build_linear(
                     key = key_int(1, rd=node["first_rd"])
                 else:
                     key = key_int(
-                        2, tau=t, pre=pre_rank[id(node)], rd=min_rd,
+                        2, gpre=pre_rank[id(node)], rd=min_rd,
                         uncertain=unc_t or has_strip,
                     )
                 starts_from.setdefault(p, []).append(
@@ -558,7 +567,7 @@ def build_linear(
     enter_edges = out_edges_of_bb(0)
     enter_tgt = np.array([t for t, _c, _k in enter_edges], dtype=np.int32)
     enter_cnt = np.array([c for _t, c, _k in enter_edges], dtype=np.int32)
-    enter_key = np.array([k for _t, _c, k in enter_edges], dtype=np.int64)
+    enter_key = np.array([k for _t, _c, k in enter_edges], dtype=np.int32)
 
     lin = LinearGraph(
         sid=enc.sid,
@@ -578,7 +587,7 @@ def build_linear(
         enter_cnt=enter_cnt,
     )
     keys = BuildKeys(
-        edge_key=np.array(key_list, dtype=np.int64),
+        edge_key=np.array(key_list, dtype=np.int32),
         enter_key=enter_key,
     )
     return lin, 0, keys
@@ -590,8 +599,8 @@ class BuildKeys:
     the minimum key among score-tied candidates, reproducing the
     reference's first-strict-max-in-creation-order exactly."""
 
-    edge_key: np.ndarray  # int64 [E], parallel to edge_tgt/edge_cnt
-    enter_key: np.ndarray  # int64 [E0]
+    edge_key: np.ndarray  # int32 [E], parallel to edge_tgt/edge_cnt
+    enter_key: np.ndarray  # int32 [E0]
 
 
 def backtrack_keys(

@@ -1,0 +1,247 @@
+"""Bitwise tests: JAX device build vs the NumPy oracle (devbuild.py)."""
+
+import random
+
+import jax
+
+import numpy as np
+import pytest
+
+from pbdagcon_tpu.ops import devbuild as dbn
+from pbdagcon_tpu.ops import devbuild_jax as dbj
+from pbdagcon_tpu.simulate import NoiseProfile, simulate_pileup
+
+
+def batch_encode(encs, caps):
+    """Pack EncodedGroups into the batched device input arrays."""
+    B = caps.B
+    ops = np.zeros((B, caps.R, caps.C), dtype=np.uint8)
+    starts = np.zeros((B, caps.R), dtype=np.int32)
+    bb = np.zeros((B, caps.L), dtype=np.uint8)
+    Lr = np.zeros(B, dtype=np.int32)
+    NI = caps.R * caps.C
+    ins = np.zeros((B, NI), dtype=np.uint8)
+    for b, e in enumerate(encs):
+        R, C = e.ops.shape
+        assert R <= caps.R and C <= caps.C and len(e.backbone) <= caps.L
+        ops[b, :R, :C] = e.ops
+        starts[b, :R] = e.starts
+        bb[b, : len(e.backbone)] = e.backbone
+        Lr[b] = len(e.backbone)
+        ins[b, : len(e.ins_base)] = e.ins_base
+    return ops, starts, bb, ins, Lr
+
+
+def _mk(seed, L=40, depth=6, noise=None):
+    rng = random.Random(seed)
+    bbs, alns = simulate_pileup(
+        rng, "t", L, depth, noise or NoiseProfile(sub=0.05, ins=0.2, dele=0.1)
+    )
+    return dbn.encode_group(bbs, alns, sid="t")
+
+
+CAPS = dbj.Caps(
+    B=2, R=12, C=96, L=48, CH=32, SM=8, NC=192, ND=256, SE=8, DQ=8,
+    V=256, W=16,
+)
+
+
+def test_decode_cov_matches():
+    encs = [_mk(1), _mk(2, L=30, depth=4)]
+    ops, starts, bb, ins, Lr = batch_encode(encs, CAPS)
+    dec = dbj.decode_columns(ops, starts, CAPS)
+    cov, matches, cidx, cons_ops = dbj.coverage_and_matches(
+        ops, starts, dec, CAPS
+    )
+    for b, e in enumerate(encs):
+        covn, matn, _tr, _ch = dbn._walk_reads(e)
+        Ln = len(e.backbone)
+        np.testing.assert_array_equal(
+            np.asarray(cov)[b, : Ln + 2], covn.astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(matches)[b, : Ln + 2], matn.astype(np.int32)
+        )
+
+
+def test_chain_extraction_matches_oracle():
+    encs = [_mk(11), _mk(12, L=44, depth=8)]
+    ops, starts, bb, ins, Lr = batch_encode(encs, CAPS)
+    dec = dbj.decode_columns(ops, starts, CAPS)
+    cov, matches, cidx, cons_ops = dbj.coverage_and_matches(
+        ops, starts, dec, CAPS
+    )
+    mpos = dbj.matched_positions(dec, starts, cidx, cons_ops, Lr, CAPS)
+    chains = dbj.extract_chains(ops, starts, ins, dec, mpos, Lr, CAPS)
+    for b, e in enumerate(encs):
+        _c, _m, _tr, chn = dbn._walk_reads(e)
+        got = []
+        val = np.asarray(chains["valid"])[b]
+        for r in range(CAPS.R):
+            for c in range(CAPS.CH):
+                if not val[r, c]:
+                    continue
+                m = int(np.asarray(chains["len"])[b, r, c])
+                rb = np.asarray(chains["rev_base"])[b, r, c, :m]
+                ra = np.asarray(chains["rev_anchor"])[b, r, c, :m]
+                got.append((
+                    int(np.asarray(chains["p"])[b, r, c]),
+                    int(np.asarray(chains["t"])[b, r, c]),
+                    tuple(int(x) for x in rb[::-1]),
+                    tuple(int(x) for x in ra[::-1]),
+                    r,
+                ))
+        want = [(ch.p, ch.t, ch.bases, ch.anchors, ch.r) for ch in chn]
+        assert sorted(got) == sorted(want), f"target {b}"
+        assert not bool(np.asarray(chains["overflow"])[b])
+
+
+def _np_band(lin, keys, V, W):
+    """Reference band arrays from the NumPy LinearGraph + keys."""
+    import numpy as np
+
+    win = np.full((V, W), -1, dtype=np.int32)
+    wkey = np.zeros((V, W), dtype=np.int32)
+    exit_cnt = np.full(V, -1, dtype=np.int32)
+    exit_key = np.zeros(V, dtype=np.int32)
+    n = lin.n
+    for u in range(n):
+        for e in range(lin.edge_off[u], lin.edge_off[u + 1]):
+            w = int(lin.edge_tgt[e])
+            c = int(lin.edge_cnt[e])
+            k = int(keys.edge_key[e])
+            if w == n:
+                exit_cnt[u] = c
+                exit_key[u] = k
+            else:
+                d = w - u - 1
+                assert d < W, "long edge in test fixture"
+                win[u, d] = c
+                wkey[u, d] = k
+    return win, wkey, exit_cnt, exit_key
+
+
+def test_device_build_bitwise_vs_oracle():
+    caps = dbj.Caps(
+        B=4, R=12, C=120, L=56, CH=32, SM=8, NC=384, ND=256, SE=8,
+        DQ=8, V=320, W=64,
+    )
+    encs = [
+        _mk(101, L=50, depth=8),
+        _mk(102, L=56, depth=10),
+        _mk(103, L=20, depth=3),
+        _mk(104, L=40, depth=6,
+            noise=NoiseProfile(sub=0.02, ins=0.3, dele=0.15)),
+    ]
+    ops, starts, bb, ins, Lr = batch_encode(encs, caps)
+    out = jax.tree_util.tree_map(
+        np.asarray,
+        dbj.device_build(ops, starts, bb, ins, Lr, caps),
+    )
+    checked = 0
+    for b, e in enumerate(encs):
+        lin, flags, keys = dbn.build_linear(e)
+        if lin is None:
+            assert bool(out["flags"][b]) or True  # oracle flagged
+            continue
+        if bool(out["flags"][b]):
+            continue  # device cap overflow: allowed, falls back
+        checked += 1
+        n = lin.n
+        assert int(out["n"][b]) == n, f"target {b}: n mismatch"
+        np.testing.assert_array_equal(
+            out["base"][b, :n], lin.base, err_msg=f"t{b} base"
+        )
+        np.testing.assert_array_equal(
+            out["weight"][b, :n], lin.weight, err_msg=f"t{b} weight"
+        )
+        np.testing.assert_array_equal(
+            out["bbpos"][b, :n], lin.bb, err_msg=f"t{b} bb"
+        )
+        np.testing.assert_array_equal(
+            out["cov"][b, :n], lin.cov, err_msg=f"t{b} cov"
+        )
+        np.testing.assert_array_equal(
+            out["unsup"][b, :n], lin.unsup, err_msg=f"t{b} unsup"
+        )
+        win, wkey, xc, xk = _np_band(lin, keys, caps.V, caps.W)
+        np.testing.assert_array_equal(
+            out["win"][b], win, err_msg=f"t{b} win"
+        )
+        np.testing.assert_array_equal(
+            out["exit_cnt"][b], xc, err_msg=f"t{b} exit"
+        )
+        # keys only matter where an edge exists
+        m = win >= 0
+        np.testing.assert_array_equal(
+            out["wkey"][b][m], wkey[m], err_msg=f"t{b} wkey"
+        )
+        mx = xc >= 0
+        np.testing.assert_array_equal(
+            out["exit_key"][b][mx], xk[mx], err_msg=f"t{b} xkey"
+        )
+        # enter candidates as sets of (tgt, cnt, key)
+        dev = set()
+        ent = out["enter"]
+        for j in range(ent["tgt"].shape[1]):
+            if ent["present"][b, j]:
+                dev.add((
+                    int(ent["tgt"][b, j]), int(ent["cnt"][b, j]),
+                    int(ent["key"][b, j]),
+                ))
+        ref = set(
+            zip(
+                (int(x) for x in lin.enter_tgt),
+                (int(x) for x in lin.enter_cnt),
+                (int(x) for x in keys.enter_key),
+            )
+        )
+        assert dev == ref, f"t{b} enter: {dev ^ ref}"
+    assert checked >= 2
+
+
+def test_device_build_soak_bitwise():
+    caps = dbj.Caps(
+        B=8, R=24, C=200, L=96, CH=48, SM=8, NC=1152, ND=512, SE=8,
+        DQ=8, V=640, W=64,
+    )
+    rngmk = [
+        (s, 40 + (s * 7) % 56, 2 + (s * 5) % 22)
+        for s in range(200, 224)
+    ]
+    profs = [
+        NoiseProfile(),
+        NoiseProfile(sub=0.05, ins=0.2, dele=0.1),
+        NoiseProfile(sub=0.02, ins=0.25, dele=0.12, max_ins_run=5),
+    ]
+    encs_all = [
+        _mk(s, L=L, depth=d, noise=profs[s % 3]) for s, L, d in rngmk
+    ]
+    checked = 0
+    for lo in range(0, len(encs_all), caps.B):
+        encs = encs_all[lo : lo + caps.B]
+        while len(encs) < caps.B:
+            encs.append(encs_all[0])
+        ops, starts, bb, ins, Lr = batch_encode(encs, caps)
+        out = jax.tree_util.tree_map(
+            np.asarray, dbj.device_build(ops, starts, bb, ins, Lr, caps)
+        )
+        for b, e in enumerate(encs):
+            lin, flags, keys = dbn.build_linear(e)
+            if lin is None or bool(out["flags"][b]):
+                continue
+            checked += 1
+            n = lin.n
+            assert int(out["n"][b]) == n
+            np.testing.assert_array_equal(out["base"][b, :n], lin.base)
+            np.testing.assert_array_equal(out["weight"][b, :n], lin.weight)
+            np.testing.assert_array_equal(out["cov"][b, :n], lin.cov)
+            np.testing.assert_array_equal(out["unsup"][b, :n], lin.unsup)
+            win, wkey, xc, xk = _np_band(lin, keys, caps.V, caps.W)
+            np.testing.assert_array_equal(out["win"][b], win)
+            np.testing.assert_array_equal(out["exit_cnt"][b], xc)
+            m = win >= 0
+            np.testing.assert_array_equal(out["wkey"][b][m], wkey[m])
+            mx = xc >= 0
+            np.testing.assert_array_equal(out["exit_key"][b][mx], xk[mx])
+    assert checked >= 12, f"only {checked} unflagged targets"
