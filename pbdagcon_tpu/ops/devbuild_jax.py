@@ -66,6 +66,7 @@ class Caps:
     DQ: int  # max transition span (q - p)
     V: int  # linear nodes per target
     W: int  # band width (successor window)
+    K: int = 32  # long-edge register slots (linear span > W)
 
 
 def _seg_start_from_boundary(boundary: jnp.ndarray) -> jnp.ndarray:
@@ -469,7 +470,42 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         m = died & (dd == dq)
         cnt_l.append(_presence_hist(pf, m, caps.L + 2, N))
     died_cnt_pq = jnp.stack(cnt_l, axis=-1)
-    over_dd = jnp.any(died & (dd > DQ), axis=-1)
+    # died strips spanning further than DQ become long-edge candidates
+    # (p, pm) with uncertain keys: dedupe + count via one sort.
+    K = caps.K
+    dl_m = died & (dd > DQ)
+    dl_key = jnp.where(dl_m, pf * (caps.L + 2) + pmc, jnp.int32(1 << 28))
+    dl_rd = jnp.where(dl_m, read, jnp.int32(1 << 20))
+    sdk, sdr = jax.lax.sort((dl_key, dl_rd), dimension=-1, num_keys=2)
+    dl_uniq = (sdk < (1 << 28)) & jnp.concatenate(
+        [jnp.ones((B, 1), bool), sdk[:, 1:] != sdk[:, :-1]], axis=-1
+    )
+    posd = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    dl_nb = jnp.where(
+        jnp.concatenate(
+            [dl_uniq[:, 1:] | (sdk[:, 1:] >= (1 << 28)),
+             jnp.ones((B, 1), bool)], axis=-1,
+        ),
+        posd + 1, jnp.int32(N),
+    )
+    dl_end = jnp.flip(
+        jax.lax.cummin(jnp.flip(dl_nb, axis=-1), axis=1), axis=-1
+    )
+    # compact unique died-long edges to K slots (sort uniq-first).
+    cu_key = jnp.where(dl_uniq, sdk, jnp.int32(1 << 28))
+    cu_pos = posd
+    cuk, cup = jax.lax.sort((cu_key, cu_pos), dimension=-1, num_keys=2)
+    died_long = {
+        "p": jnp.where(cuk[:, :K] < (1 << 28), cuk[:, :K] // (caps.L + 2), -1),
+        "q": jnp.where(cuk[:, :K] < (1 << 28), cuk[:, :K] % (caps.L + 2), -1),
+        "cnt": jnp.take_along_axis(
+            dl_end - posd, jnp.clip(cup[:, :K], 0, N - 1), axis=-1
+        ),
+        "rd": jnp.take_along_axis(
+            sdr, jnp.clip(cup[:, :K], 0, N - 1), axis=-1
+        ),
+    }
+    over_dd = jnp.sum(dl_uniq, axis=-1) > K
 
     # min (read, orig t) per (p, dq) for died chains via one sort:
     # key = p * (DQ+2) + dq, payload packed (read << 18 | orig t); the
@@ -530,6 +566,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         "died_cnt_pq": died_cnt_pq,
         "died_read": died_read,
         "died_t": died_t,
+        "died_long": died_long,
         "over_dd": over_dd,
         "cascade": cascade,
         "strip_t": strip_t,
@@ -565,23 +602,28 @@ def build_tries(fc, Lr, caps: Caps):
     SM = caps.SM
     BIGT = jnp.int32(1 << 20)
 
-    # pack reversed strings into two big-endian u32 lanes (bases < 128;
+    # pack reversed strings into big-endian u32 lanes (bases < 128;
     # zero-pad sorts before real bases, keeping prefix runs contiguous).
     rb = fc["rev_base"].astype(jnp.uint32)
-    k0 = (rb[..., 0] << 24) | (rb[..., 1] << 16) | (rb[..., 2] << 8) | rb[..., 3]
-    k1 = 0
-    if SM > 4:
-        k1 = (rb[..., 4] << 24) | (rb[..., 5] << 16)
-        if SM > 6:
-            k1 = k1 | (rb[..., 6] << 8) | rb[..., 7]
-    else:
-        k1 = jnp.zeros_like(k0)
+
+    def lane(i0):
+        parts = []
+        for j in range(4):
+            d = i0 + j
+            parts.append(
+                (rb[..., d] if d < SM else jnp.zeros_like(rb[..., 0]))
+                << (24 - 8 * j)
+            )
+        return parts[0] | parts[1] | parts[2] | parts[3]
+
+    lanes = [lane(i) for i in range(0, SM, 4)]
     tkey = jnp.where(fc["valid"], fc["t"], BIGT)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
-    st, _k0, _k1, sidx = jax.lax.sort(
-        (tkey, k0.astype(jnp.uint32), k1.astype(jnp.uint32), idx),
-        dimension=-1, num_keys=3,
+    sorted_ops = jax.lax.sort(
+        tuple([tkey] + [ln.astype(jnp.uint32) for ln in lanes] + [idx]),
+        dimension=-1, num_keys=1 + len(lanes),
     )
+    st, sidx = sorted_ops[0], sorted_ops[-1]
 
     def g(a):
         return jnp.take_along_axis(a, sidx, axis=-1)
@@ -975,7 +1017,8 @@ def assemble_band(
 
     # ---- per-node arrays ---------------------------------------------
     bonus = absb["bonus"]
-    w_bb = 1 + bf(matches) + bf(bonus)
+    w_bb_full = 1 + matches + bonus  # [B, L+2] backbone weights
+    w_bb = bf(w_bb_full)
     # trie-node base: the depth-(d-1) reversed base of the node's
     # run-start chain (equal across the run by construction).
     s_rb = linz["s"]["rev_base"].reshape(B, -1)  # [B, N*SM]
@@ -1054,7 +1097,21 @@ def assemble_band(
         is_bb & ~at_L & (xcnt > 0), xkey, exit_key
     )
 
-    # transitions dq = 2..DQ.
+    # transitions dq = 2..DQ: short spans to the band, long spans (the
+    # linear gap includes interposed tries) to the K-register file.
+    pgrid = jnp.arange(L + 2, dtype=I32)[None, :]
+    lk_u, lk_w, lk_cnt, lk_key, lk_long, lk_esc = [], [], [], [], [], []
+
+    def bb_esc(cnt, q):
+        """Edge score into backbone position q [B, X]."""
+        qq = jnp.clip(q, 0, L + 1)
+        uns = jnp.take_along_axis(w_bb_full, qq, axis=-1) == 1
+        cq = jnp.take_along_axis(cov, qq, axis=-1)
+        return jnp.where(
+            uns, jnp.float32(-10.0),
+            cnt.astype(jnp.float32) - 0.5 * cq.astype(jnp.float32),
+        )
+
     for dq in range(2, DQ + 1):
         qlin = jnp.take_along_axis(
             lin_bb_full, jnp.clip(pic + dq, 0, L + 1), axis=-1
@@ -1071,16 +1128,72 @@ def assemble_band(
         ) | KEY_UNCERTAIN
         key = jnp.where(c1 > 0, k1, k2)
         ok = is_bb & (pic + dq <= Lr[:, None]) & ((c1 + c2) > 0)
+        span = qlin - vb
         win, wkey, flags = add_class(
-            win, wkey, flags, ok, qlin - vb, c1 + c2, key
+            win, wkey, flags, ok & (span <= W), span, c1 + c2, key,
         )
+        # long candidates in (p, dq) space (smaller than per-v).
+        qlin_p = jnp.take_along_axis(
+            lin_bb_full, jnp.clip(pgrid + dq, 0, L + 1), axis=-1
+        )
+        c1p = trans["count_pq"][..., dq - 1]
+        c2p = absb["died_cnt_pq"][..., dq - 1]
+        okp = (
+            (pgrid >= 1)
+            & (pgrid + dq <= Lr[:, None])
+            & ((c1p + c2p) > 0)
+        )
+        k1p = _key_int(
+            1, rd=jnp.clip(trans["rkey_pq"][..., dq - 1], 0, (1 << 14) - 1)
+        )
+        k2p = _key_int(
+            2, rd=jnp.clip(absb["died_read"][..., dq - 1], 0,
+                           (1 << 14) - 1)
+        ) | KEY_UNCERTAIN
+        lk_u.append(lin_bb_full)
+        lk_w.append(qlin_p)
+        lk_cnt.append(jnp.where(okp, c1p + c2p, 0))
+        lk_key.append(jnp.where(c1p > 0, k1p, k2p))
+        lk_long.append(okp & ((qlin_p - lin_bb_full) > W))
+        lk_esc.append(bb_esc(c1p + c2p, pgrid + dq))
 
-    # start edges: unique (p, node) edges compacted and sorted by p.
+    # died strips with dd > DQ are always K candidates.
+    dl = absb["died_long"]
+    dl_ok = dl["p"] >= 0
+    dl_u = jnp.take_along_axis(
+        lin_bb_full, jnp.clip(dl["p"], 0, L + 1), axis=-1
+    )
+    dl_w = jnp.take_along_axis(
+        lin_bb_full, jnp.clip(dl["q"], 0, L + 1), axis=-1
+    )
+    dl_key = _key_int(
+        2, rd=jnp.clip(dl["rd"], 0, (1 << 14) - 1)
+    ) | KEY_UNCERTAIN
+    lk_u.append(dl_u)
+    lk_w.append(dl_w)
+    lk_cnt.append(jnp.where(dl_ok, dl["cnt"], 0))
+    lk_key.append(dl_key)
+    lk_long.append(dl_ok)
+    lk_esc.append(bb_esc(dl["cnt"], dl["q"]))
+
+    # start edges: unique (p, node) edges compacted and sorted by
+    # (p, short-first): short spans feed the band, long spans the
+    # K-register file (partial reads' trailing chains end in the exit
+    # trie, far from their start anchor).
     se = linz["start_edges"]
     N = se["p"].shape[1]
-    ukey = jnp.where(se["uniq"], se["p"], jnp.int32(1 << 20))
+    se_ulin = jnp.take_along_axis(
+        lin_bb_full, jnp.clip(se["p"], 0, L + 1), axis=-1
+    )
+    se_ulin = jnp.where(se["p"] == 0, -1, se_ulin)  # enter rows
+    se_span = se["node_lin"] - se_ulin
+    se_islong = se["uniq"] & (se["p"] >= 1) & (se_span > W)
+    ukey = jnp.where(
+        se["uniq"], se["p"] * 2 + se_islong.astype(I32),
+        jnp.int32(1 << 21),
+    )
     upos = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
-    su_p, su_pos = jax.lax.sort((ukey, upos), dimension=-1, num_keys=2)
+    su_key, su_pos = jax.lax.sort((ukey, upos), dimension=-1, num_keys=2)
 
     def se_field(a):
         return jnp.take_along_axis(a, su_pos, axis=-1)
@@ -1088,10 +1201,11 @@ def assemble_band(
     su_n = se_field(se["node_lin"])
     su_c = se_field(se["count"])
     su_k = se_field(se["key"])
-    # per backbone p: run [lo, lo_next) in the compacted table.
+    # per backbone p: short run = rows with key exactly 2p.
     p_of_v = pic  # [B, V]
-    lo = _row_searchsorted(su_p, jnp.where(is_bb, p_of_v, -1))
-    hi = _row_searchsorted(su_p, jnp.where(is_bb, p_of_v, -1), side="right")
+    qk = jnp.where(is_bb, p_of_v * 2, -2)
+    lo = _row_searchsorted(su_key, qk)
+    hi = _row_searchsorted(su_key, qk, side="right")
     flags = flags | jnp.any(is_bb & (hi - lo > SE), axis=-1)
     for si in range(SE):
         j = jnp.clip(lo + si, 0, N - 1)
@@ -1102,6 +1216,61 @@ def assemble_band(
         win, wkey, flags = add_class(
             win, wkey, flags, ok, tgt - vb, cnt, key
         )
+    # long start edges -> K candidates; esc uses the target trie node's
+    # coverage(anchor) (trie nodes are never unsupported-backbone).
+    se_anch = jnp.where(
+        se_islong,
+        jnp.take_along_axis(
+            linz["node"]["anchor"],
+            jnp.clip(
+                _row_searchsorted(linz["node"]["lin"], se["node_lin"]),
+                0, caps.ND - 1,
+            ),
+            axis=-1,
+        ),
+        0,
+    )
+    se_cov = jnp.take_along_axis(
+        cov, jnp.clip(se_anch, 0, L + 1), axis=-1
+    )
+    lk_u.append(jnp.where(se_islong, se_ulin, -1))
+    lk_w.append(se["node_lin"])
+    lk_cnt.append(jnp.where(se_islong, se["count"], 0))
+    lk_key.append(se["key"])
+    lk_long.append(se_islong)
+    lk_esc.append(
+        se["count"].astype(jnp.float32)
+        - 0.5 * se_cov.astype(jnp.float32)
+    )
+
+    # compact long candidates to K slots per target.
+    K = caps.K
+    cu = jnp.concatenate(lk_u, axis=-1)
+    cw = jnp.concatenate(lk_w, axis=-1)
+    cc = jnp.concatenate(lk_cnt, axis=-1)
+    ck = jnp.concatenate(lk_key, axis=-1)
+    ce = jnp.concatenate(lk_esc, axis=-1)
+    cl = jnp.concatenate(lk_long, axis=-1) & (cc > 0)
+    NLC = cu.shape[1]
+    sel_key = jnp.where(cl, jnp.int32(0), jnp.int32(1))
+    payload = jnp.broadcast_to(jnp.arange(NLC, dtype=I32), (B, NLC))
+    sk_, sp_ = jax.lax.sort((sel_key, payload), dimension=-1, num_keys=2)
+    n_long = jnp.sum(cl, axis=-1)
+    flags = flags | (n_long > K)
+
+    def takeK(a):
+        return jnp.take_along_axis(
+            a, jnp.clip(sp_[:, :K], 0, NLC - 1), axis=-1
+        )
+
+    k_live = sk_[:, :K] == 0
+    long_u = jnp.where(k_live, takeK(cu), -1)
+    long_w = jnp.where(k_live, takeK(cw), -1)
+    long_cnt = jnp.where(k_live, takeK(cc), 0)
+    long_key = jnp.where(k_live, takeK(ck), 0)
+    long_esc = jnp.where(
+        k_live, takeK(ce), jnp.float32(np.finfo(np.float32).min)
+    )
 
     # ---- enter tables -------------------------------------------------
     # candidates: ctor (q=1 / exit if Lr==0), transitions q, exit, and
@@ -1122,10 +1291,10 @@ def assemble_band(
     e_present = (e_cnt > 0) | (q == 1)
     e_present = e_present & (q >= 1) & (q <= Lr[:, None] + 1)
     e_key = jnp.where(q == 1, 0, e_key)
-    # enter start edges: p == 0 rows.
+    # enter start edges: p == 0 rows (ukey == 0; never routed to K).
     zero = jnp.zeros((B, 1), dtype=I32)
-    lo0 = _row_searchsorted(su_p, zero)[:, 0]
-    hi0 = _row_searchsorted(su_p, zero, side="right")[:, 0]
+    lo0 = _row_searchsorted(su_key, zero)[:, 0]
+    hi0 = _row_searchsorted(su_key, zero, side="right")[:, 0]
     flags = flags | (hi0 - lo0 > SE)
     es_tgt, es_cnt, es_key, es_ok = [], [], [], []
     for si in range(SE):
@@ -1147,6 +1316,11 @@ def assemble_band(
         "wkey": wkey,
         "exit_cnt": exit_cnt,
         "exit_key": exit_key,
+        "long_u": long_u,
+        "long_w": long_w,
+        "long_cnt": long_cnt,
+        "long_key": long_key,
+        "long_esc": long_esc,
         "cov": jnp.where(in_range, cov_lin, 0),
         "unsup": unsup & in_range,
         "weight": jnp.where(in_range, weight, 0),
@@ -1196,6 +1370,15 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
         ),
         axis=-1,
     )
+    out["flag_detail"] = {
+        "band": out["flags"],  # span > W / SE overflow
+        "caps": linz["flags_partial"],  # ND / V / trie-parent span
+        "cascade": absb["cascade"],
+        "over_dd": absb["over_dd"],
+        "over_dq": trans["over_dq"],
+        "chain_len": chains["overflow"],
+        "sentinel": sentinel,
+    }
     out["flags"] = (
         out["flags"]
         | linz["flags_partial"]

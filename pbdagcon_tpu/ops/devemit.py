@@ -1,0 +1,210 @@
+"""Device backtrack + path emission for the device-built graph.
+
+Completes the all-on-device consensus pipeline: the banded linear graph
+from `ops/devbuild_jax.py` feeds the existing reverse max-plus DP
+(`ops/dp.py::dp_scores`), then a forward scan walks the best path with
+the reference's first-strict-max tie-break implemented via the 32-bit
+creation keys (ties between equal scores pick the minimum key; a tie
+involving a KEY_UNCERTAIN edge flags the target for host fallback).
+
+The walk emits per-step (base, kept, backbone-position) straight into
+fixed-shape output arrays — the only thing fetched over the link — and
+the host assembles FASTA fragments exactly like
+`ops/linearize.py::consensus_from_path` (SPEC §2.7).
+
+Reference: `AlnGraphBoost::consensus()` DP + backtrack
+(src/cpp/AlnGraphBoost.cpp, SURVEY.md §3.4 — reconstructed, mount empty).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbdagcon_tpu.ops.devbuild import KEY_MASK, KEY_UNCERTAIN
+from pbdagcon_tpu.oracle.graph import CnsResult
+
+I32 = jnp.int32
+NEG_INF = jnp.float32(np.float32(np.finfo(np.float32).min))
+_PENALTY = jnp.float32(-10.0)
+
+
+def _pick(tot, keys, valid):
+    """First-strict-max with key tie-break over axis -1.
+
+    Returns (argmax index, best score, uncertain-tie flag)."""
+    tot = jnp.where(valid, tot, NEG_INF)
+    best = jnp.max(tot, axis=-1)  # [B]
+    is_max = valid & (tot == best[..., None]) & (best[..., None] > NEG_INF)
+    n_max = jnp.sum(is_max, axis=-1)
+    masked_key = jnp.where(is_max, keys & KEY_MASK, jnp.int32(1 << 30))
+    kmin = jnp.min(masked_key, axis=-1)
+    sel = is_max & (masked_key == kmin[..., None])
+    idx = jnp.argmax(sel, axis=-1)
+    unc = (n_max > 1) & jnp.any(
+        is_max & ((keys & KEY_UNCERTAIN) != 0), axis=-1
+    )
+    return idx, best, unc
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def backtrack_emit(build, scores, min_weight, P: int):
+    """Walk the best path on device; emit per-step node attributes.
+
+    build: the `device_build` output dict; scores: [B, V] f32 from
+    `dp_scores`. Returns dict with bases/kept/bbpos [B, P], path_len,
+    ambiguous + overflow flags.
+    """
+    win = build["win"]
+    wkey = build["wkey"]
+    B, V, W = win.shape
+    n = build["n"]  # [B]
+    cov = build["cov"].astype(jnp.float32)
+    unsup = build["unsup"]
+    weight = build["weight"]
+    base = build["base"]
+    bbpos = build["bbpos"]
+    exit_cnt = build["exit_cnt"]
+    exit_key = build["exit_key"]
+
+    full = jnp.concatenate(
+        [scores, jnp.zeros((B, 1), jnp.float32)], axis=-1
+    )  # virtual exit at index V (per-target exit is n, remapped below)
+
+    def esc_of(tgt, cnt):
+        """Edge score into target node indices [B, X] (tgt == n -> exit:
+        esc = count)."""
+        is_exit = tgt == n[:, None]
+        tc = jnp.clip(tgt, 0, V - 1)
+        e_unsup = jnp.take_along_axis(unsup, tc, axis=-1)
+        e_cov = jnp.take_along_axis(cov, tc, axis=-1)
+        esc = jnp.where(
+            e_unsup, _PENALTY, cnt.astype(jnp.float32) - 0.5 * e_cov
+        )
+        return jnp.where(is_exit, cnt.astype(jnp.float32), esc)
+
+    def score_of(tgt):
+        is_exit = tgt == n[:, None]
+        sc = jnp.take_along_axis(
+            full[:, :V], jnp.clip(tgt, 0, V - 1), axis=-1
+        )
+        return jnp.where(is_exit, 0.0, sc)
+
+    # ---- enter pick ---------------------------------------------------
+    ent = build["enter"]
+    e_tot = esc_of(ent["tgt"], ent["cnt"]) + score_of(ent["tgt"])
+    e_idx, _e_best, e_unc = _pick(e_tot, ent["key"], ent["present"])
+    u0 = jnp.take_along_axis(ent["tgt"], e_idx[:, None], axis=-1)[:, 0]
+    u0 = jnp.where(
+        jnp.any(ent["present"], axis=-1), u0, n
+    )  # no candidates: empty path
+
+    # ---- walk ---------------------------------------------------------
+    wlane = jnp.arange(W, dtype=I32)[None, :]
+    long_u = build["long_u"]
+    long_w = build["long_w"]
+    long_key = build["long_key"]
+    long_esc = build["long_esc"]
+
+    def step(carry, _):
+        u, amb = carry
+        at_end = u >= n  # virtual exit (or finished)
+        uc = jnp.clip(u, 0, V - 1)[:, None]
+        row_cnt = jnp.take_along_axis(win, uc[..., None], axis=1)[:, 0]
+        row_key = jnp.take_along_axis(wkey, uc[..., None], axis=1)[:, 0]
+        tgt = uc + 1 + wlane  # [B, W]
+        x_cnt = jnp.take_along_axis(exit_cnt, uc, axis=-1)
+        x_key = jnp.take_along_axis(exit_key, uc, axis=-1)
+        cand_tgt = jnp.concatenate([tgt, n[:, None]], axis=-1)
+        cand_cnt = jnp.concatenate([row_cnt, x_cnt], axis=-1)
+        cand_key = jnp.concatenate([row_key, x_key], axis=-1)
+        valid = cand_cnt >= 0
+        tot = esc_of(cand_tgt, cand_cnt) + score_of(cand_tgt)
+        # K long-edge candidates leaving u (esc precomputed).
+        lmask = (long_u == u[:, None]) & (long_u >= 0)
+        ltot = jnp.where(
+            lmask, long_esc + score_of(long_w), NEG_INF
+        )
+        cand_tgt = jnp.concatenate([cand_tgt, long_w], axis=-1)
+        tot = jnp.concatenate([tot, ltot], axis=-1)
+        cand_key = jnp.concatenate([cand_key, long_key], axis=-1)
+        valid = jnp.concatenate([valid, lmask], axis=-1)
+        idx, _best, unc = _pick(tot, cand_key, valid)
+        nxt = jnp.take_along_axis(cand_tgt, idx[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(jnp.any(valid, axis=-1), nxt, n)
+        out = (
+            jnp.where(at_end, jnp.uint8(0), jnp.take_along_axis(
+                base, uc, axis=-1)[:, 0]),
+            jnp.where(
+                at_end,
+                False,
+                jnp.take_along_axis(weight, uc, axis=-1)[:, 0]
+                >= min_weight,
+            ),
+            jnp.where(at_end, 0, jnp.take_along_axis(
+                bbpos, uc, axis=-1)[:, 0]),
+            ~at_end,
+        )
+        amb = amb | (unc & ~at_end)
+        u2 = jnp.where(at_end, u, nxt)
+        return (u2, amb), out
+
+    (u_fin, amb), (bases, kept, bpos, valid) = jax.lax.scan(
+        step, (u0, e_unc), None, length=P
+    )
+    # scan stacks outputs on axis 0: [P, B] -> [B, P]
+    bases = jnp.swapaxes(bases, 0, 1)
+    kept = jnp.swapaxes(kept, 0, 1)
+    bpos = jnp.swapaxes(bpos, 0, 1)
+    valid = jnp.swapaxes(valid, 0, 1)
+    path_len = jnp.sum(valid, axis=-1, dtype=I32)
+    overflow = u_fin < n  # didn't reach exit within P steps
+    return {
+        "bases": bases,
+        "kept": kept,
+        "bbpos": bpos.astype(jnp.int32),
+        "path_len": path_len,
+        "ambiguous": amb,
+        "overflow": overflow,
+    }
+
+
+def assemble_fragments(
+    bases: np.ndarray,
+    kept: np.ndarray,
+    bbpos: np.ndarray,
+    path_len: int,
+    min_length: int,
+) -> list[CnsResult]:
+    """Host-side fragment assembly from one target's emitted path
+    (consensus_from_path semantics, SPEC §2.7)."""
+    results: list[CnsResult] = []
+    bb_pos = 0
+    kept_end = 0
+    range_start = 0
+    frag = bytearray()
+
+    def close() -> None:
+        nonlocal frag
+        if len(frag) >= min_length and len(frag) > 0:
+            results.append(
+                CnsResult((range_start, kept_end), frag.decode())
+            )
+        frag = bytearray()
+
+    for i in range(path_len):
+        is_bb = bbpos[i] != 0
+        if is_bb:
+            bb_pos = int(bbpos[i])
+        if kept[i]:
+            if not frag:
+                range_start = bb_pos - 1 if is_bb else bb_pos
+            frag.append(int(bases[i]))
+            kept_end = bb_pos
+        else:
+            close()
+    close()
+    return results

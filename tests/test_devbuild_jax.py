@@ -96,29 +96,39 @@ def test_chain_extraction_matches_oracle():
         assert not bool(np.asarray(chains["overflow"])[b])
 
 
-def _np_band(lin, keys, V, W):
-    """Reference band arrays from the NumPy LinearGraph + keys."""
-    import numpy as np
-
-    win = np.full((V, W), -1, dtype=np.int32)
-    wkey = np.zeros((V, W), dtype=np.int32)
-    exit_cnt = np.full(V, -1, dtype=np.int32)
-    exit_key = np.zeros(V, dtype=np.int32)
+def _np_edges(lin, keys):
+    """Reference edge set {(u, tgt, cnt, key)} from the NumPy
+    LinearGraph + keys (tgt == n encodes the exit edge)."""
+    out = set()
     n = lin.n
     for u in range(n):
         for e in range(lin.edge_off[u], lin.edge_off[u + 1]):
-            w = int(lin.edge_tgt[e])
-            c = int(lin.edge_cnt[e])
-            k = int(keys.edge_key[e])
-            if w == n:
-                exit_cnt[u] = c
-                exit_key[u] = k
-            else:
-                d = w - u - 1
-                assert d < W, "long edge in test fixture"
-                win[u, d] = c
-                wkey[u, d] = k
-    return win, wkey, exit_cnt, exit_key
+            out.add((
+                u, int(lin.edge_tgt[e]), int(lin.edge_cnt[e]),
+                int(keys.edge_key[e]),
+            ))
+    return out
+
+
+def _dev_edges(out, b, n, V, W):
+    """Device edge set: band + exit lanes + K long registers."""
+    edges = set()
+    win = out["win"][b]
+    wkey = out["wkey"][b]
+    for u, d in np.argwhere(win >= 0):
+        edges.add((int(u), int(u) + 1 + int(d), int(win[u, d]),
+                   int(wkey[u, d])))
+    xc = out["exit_cnt"][b]
+    xk = out["exit_key"][b]
+    for (u,) in np.argwhere(xc >= 0):
+        edges.add((int(u), n, int(xc[u]), int(xk[u])))
+    for k in range(out["long_u"].shape[1]):
+        if out["long_u"][b, k] >= 0:
+            edges.add((
+                int(out["long_u"][b, k]), int(out["long_w"][b, k]),
+                int(out["long_cnt"][b, k]), int(out["long_key"][b, k]),
+            ))
+    return edges
 
 
 def test_device_build_bitwise_vs_oracle():
@@ -164,22 +174,9 @@ def test_device_build_bitwise_vs_oracle():
         np.testing.assert_array_equal(
             out["unsup"][b, :n], lin.unsup, err_msg=f"t{b} unsup"
         )
-        win, wkey, xc, xk = _np_band(lin, keys, caps.V, caps.W)
-        np.testing.assert_array_equal(
-            out["win"][b], win, err_msg=f"t{b} win"
-        )
-        np.testing.assert_array_equal(
-            out["exit_cnt"][b], xc, err_msg=f"t{b} exit"
-        )
-        # keys only matter where an edge exists
-        m = win >= 0
-        np.testing.assert_array_equal(
-            out["wkey"][b][m], wkey[m], err_msg=f"t{b} wkey"
-        )
-        mx = xc >= 0
-        np.testing.assert_array_equal(
-            out["exit_key"][b][mx], xk[mx], err_msg=f"t{b} xkey"
-        )
+        dev = _dev_edges(out, b, n, caps.V, caps.W)
+        ref = _np_edges(lin, keys)
+        assert dev == ref, f"t{b} edges: {sorted(dev ^ ref)[:6]}"
         # enter candidates as sets of (tgt, cnt, key)
         dev = set()
         ent = out["enter"]
@@ -237,11 +234,76 @@ def test_device_build_soak_bitwise():
             np.testing.assert_array_equal(out["weight"][b, :n], lin.weight)
             np.testing.assert_array_equal(out["cov"][b, :n], lin.cov)
             np.testing.assert_array_equal(out["unsup"][b, :n], lin.unsup)
-            win, wkey, xc, xk = _np_band(lin, keys, caps.V, caps.W)
-            np.testing.assert_array_equal(out["win"][b], win)
-            np.testing.assert_array_equal(out["exit_cnt"][b], xc)
-            m = win >= 0
-            np.testing.assert_array_equal(out["wkey"][b][m], wkey[m])
-            mx = xc >= 0
-            np.testing.assert_array_equal(out["exit_key"][b][mx], xk[mx])
+            dev = _dev_edges(out, b, n, caps.V, caps.W)
+            ref = _np_edges(lin, keys)
+            assert dev == ref, f"t{lo+b} edges: {sorted(dev ^ ref)[:6]}"
     assert checked >= 12, f"only {checked} unflagged targets"
+
+
+def test_device_consensus_end_to_end():
+    """device_build -> dp_scores -> backtrack_emit == host engine."""
+    import jax.numpy as jnp
+
+    from pbdagcon_tpu.ops import devemit
+    from pbdagcon_tpu.ops.dp import dp_scores
+    from pbdagcon_tpu.ops.linearize import (
+        backtrack, consensus_from_path, graph_from_group, host_scores,
+        linearize,
+    )
+    from pbdagcon_tpu.alignment import normalize_gaps
+
+    caps = dbj.Caps(
+        B=8, R=24, C=220, L=96, CH=48, SM=8, NC=1152, ND=512, SE=8,
+        DQ=8, V=640, W=64,
+    )
+    P = 320
+    profs = [
+        NoiseProfile(),
+        NoiseProfile(sub=0.05, ins=0.2, dele=0.1),
+        NoiseProfile(sub=0.02, ins=0.25, dele=0.12, max_ins_run=5),
+    ]
+    rng = random.Random(4242)
+    pile = []
+    for s in range(16):
+        L = rng.randint(30, 90)
+        d = rng.randint(2, 20)
+        bbs, alns = simulate_pileup(rng, f"t{s}", L, d, profs[s % 3])
+        pile.append((bbs, alns))
+    checked = 0
+    for lo in range(0, len(pile), caps.B):
+        group = pile[lo : lo + caps.B]
+        while len(group) < caps.B:
+            group.append(pile[0])
+        encs = [
+            dbn.encode_group(bbs, alns, sid=f"g{i}")
+            for i, (bbs, alns) in enumerate(group)
+        ]
+        ops, starts, bb, ins, Lr = batch_encode(encs, caps)
+        build = dbj.device_build(ops, starts, bb, ins, Lr, caps)
+        scores = dp_scores(
+            build["win"], build["exit_cnt"], build["cov"], build["unsup"],
+            build["long_u"], build["long_w"], build["long_esc"],
+        )
+        mw = 2
+        emit = jax.tree_util.tree_map(
+            np.asarray,
+            devemit.backtrack_emit(build, scores, jnp.int32(mw), P),
+        )
+        flags = np.asarray(build["flags"])
+        for b, (bbs, alns) in enumerate(group):
+            if flags[b] or emit["ambiguous"][b] or emit["overflow"][b]:
+                continue
+            checked += 1
+            got = devemit.assemble_fragments(
+                emit["bases"][b], emit["kept"][b], emit["bbpos"][b],
+                int(emit["path_len"][b]), 5,
+            )
+            g = graph_from_group(bbs, alns)
+            hl = linearize(g, sid="x")
+            want = consensus_from_path(
+                hl, backtrack(hl, host_scores(hl)), mw, 5
+            )
+            assert [(r.range, r.seq) for r in got] == [
+                (r.range, r.seq) for r in want
+            ], f"pile {lo + b}"
+    assert checked >= 10, f"only {checked} checked"
