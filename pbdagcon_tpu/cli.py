@@ -63,9 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--backend",
-        choices=("auto", "xla", "blocked", "pallas", "host"),
+        choices=("auto", "xla", "blocked", "pallas", "host", "devbuild"),
         default="auto",
-        help="consensus DP backend",
+        help="consensus backend (devbuild = graph build + merge + DP + "
+        "backtrack all on device)",
     )
     p.add_argument(
         "--batch-targets", type=int, default=128,

@@ -38,10 +38,11 @@ class DagconConfig:
     # Max targets per device batch (per V-bucket batches are formed up to
     # this size before dispatch).
     batch_targets: int = 128
-    # Execution backend for the consensus DP: "xla" (sequential scan),
+    # Execution backend: "xla" (host graph build + device scan DP),
     # "blocked" (max-plus blocked solve, sqrt(V) depth, guarded exact),
-    # "pallas", "host", or "auto"; host fallback for out-of-bucket
-    # targets always.
+    # "pallas", "host", "devbuild" (graph build + merge + DP +
+    # backtrack all on device, host fallback for flagged targets), or
+    # "auto"; host fallback for out-of-bucket targets always.
     backend: str = "auto"
     # Use the native C++ loader/graph engine when available.
     use_native: bool = True
@@ -51,7 +52,9 @@ class DagconConfig:
             raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")
         if self.align_backend not in ("host", "device"):
             raise ValueError(f"unknown align_backend {self.align_backend!r}")
-        if self.backend not in ("auto", "xla", "blocked", "pallas", "host"):
+        if self.backend not in (
+            "auto", "xla", "blocked", "pallas", "host", "devbuild"
+        ):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.min_weight < 0 or self.min_length < 0 or self.trim < 0:
             raise ValueError("min_weight/min_length/trim must be >= 0")

@@ -1,0 +1,237 @@
+"""The all-on-device consensus pipeline (backend="devbuild").
+
+Host work shrinks to parse + normalize + encode (the parity-critical
+text processing); everything the reference's consensus worker does —
+graph build, merge, linearize, best-path DP, backtrack — runs on the
+accelerator (`ops/devbuild_jax.py` + `ops/devemit.py`). Targets the
+fixed-shape build flags (capacity overflows, absorption cascades,
+ambiguous-key ties) fall back to the exact host path, so output stays
+bit-identical to the reference architecture regardless.
+
+Upload per target is the encoded read set (~5x smaller than the banded
+graph arrays of the host-build path); fetch is the emitted best path.
+
+Reference: the consensus worker pipeline (`src/cpp/main.cpp`,
+SURVEY.md §3.1 — reconstructed; mount empty).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from pbdagcon_tpu.config import DagconConfig
+from pbdagcon_tpu.io import TargetGroup
+from pbdagcon_tpu.oracle.graph import CnsResult
+from pbdagcon_tpu.ops.devbuild import EncodedGroup, encode_group
+
+log = logging.getLogger("pbdagcon_tpu")
+
+# Shape ladders: one compiled program per (B, R, C, L) combination used.
+_B_LADDER = (8, 32, 128)
+_R_LADDER = (16, 48, 128, 512)
+_C_LADDER = (256, 1536, 4096, 16384)
+_L_LADDER = (256, 1024, 4096, 16384)
+
+
+def _ladder(x: int, ladder: tuple[int, ...]) -> int | None:
+    for v in ladder:
+        if x <= v:
+            return v
+    return None
+
+
+@dataclasses.dataclass(frozen=True)
+class DevCapsConfig:
+    """Derived caps for secondary dimensions, scaled from (R, C, L)."""
+
+    W: int = 64
+    SM: int = 12
+    SE: int = 8
+    DQ: int = 12
+    K: int = 32
+
+
+def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
+    """Build-shape caps from the primary bucket dims."""
+    from pbdagcon_tpu.ops.devbuild_jax import Caps
+
+    # chains per read ~ insertion runs (~C/8 worst case); the flat chain
+    # table R*CH must fit the 14-bit packed chain index.
+    CH = max(32, min(C // 8, 256, ((1 << 14) // R)))
+    ND = min(4 * L + 256, (1 << 14) - 1)  # gpre key field limit
+    return Caps(
+        B=B, R=R, C=C, L=L,
+        CH=CH,
+        SM=cfg.SM,
+        NC=R * CH,
+        ND=ND,
+        SE=cfg.SE,
+        DQ=cfg.DQ,
+        V=L + ND,
+        W=cfg.W,
+        K=cfg.K,
+    )
+
+
+def encode_groups(
+    groups: Iterable[TargetGroup], cfg: DagconConfig
+) -> Iterator[tuple[TargetGroup, EncodedGroup | None]]:
+    """Host-side encode (normalize + column streams) per group. Groups
+    that cannot be encoded (raw pairs without -a already skipped by the
+    encoder) yield None and fall back."""
+    for group in groups:
+        alns = group.alns
+        if cfg.align:
+            from pbdagcon_tpu.aligner import align_record
+
+            alns = [align_record(a) for a in alns]
+        else:
+            alns = [a for a in alns if len(a.qstr) == len(a.tstr)]
+        try:
+            enc = encode_group(
+                group.backbone, alns, trim=cfg.trim, sid=group.sid
+            )
+        except Exception:
+            yield group, None
+            continue
+        yield group, enc
+
+
+def _pack_batch(encs: list[EncodedGroup], caps):
+    B = caps.B
+    ops = np.zeros((B, caps.R, caps.C), dtype=np.uint8)
+    starts = np.zeros((B, caps.R), dtype=np.int32)
+    bb = np.zeros((B, caps.L), dtype=np.uint8)
+    Lr = np.zeros(B, dtype=np.int32)
+    # pad the ins stream to a power of two (stable compiled shapes).
+    ni_max = max(1, max((len(e.ins_base) for e in encs), default=1))
+    ni = 1 << max(8, (ni_max - 1).bit_length())
+    ins = np.zeros((B, ni), dtype=np.uint8)
+    for b, e in enumerate(encs):
+        R, C = e.ops.shape
+        ops[b, :R, :C] = e.ops
+        starts[b, :R] = e.starts
+        bb[b, : len(e.backbone)] = e.backbone
+        Lr[b] = len(e.backbone)
+        ins[b, : len(e.ins_base)] = e.ins_base
+    return ops, starts, bb, ins, Lr
+
+
+def _host_consensus(group: TargetGroup, cfg: DagconConfig) -> list[CnsResult]:
+    """Exact host fallback for flagged targets."""
+    from pbdagcon_tpu.pipeline import (
+        consensus_for_lin,
+        linearize_group,
+    )
+    from pbdagcon_tpu.ops.linearize import host_scores
+
+    lin = linearize_group(group, cfg)
+    return consensus_for_lin(lin, host_scores(lin), cfg)
+
+
+def run_devbuild_pipeline(
+    groups: Iterable[TargetGroup],
+    cfg: DagconConfig,
+    stats,
+) -> Iterator[tuple[str, list[CnsResult]]]:
+    """Batched device-build consensus over a stream of target groups,
+    in input order."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbdagcon_tpu.ops import devemit
+    from pbdagcon_tpu.ops.devbuild_jax import device_build
+    from pbdagcon_tpu.ops.dp import dp_scores
+
+    dcfg = DevCapsConfig()
+    pending: list[tuple[TargetGroup, EncodedGroup | None]] = []
+
+    def fits(e: EncodedGroup) -> bool:
+        R, C = e.ops.shape
+        return (
+            _ladder(R, _R_LADDER) is not None
+            and _ladder(C, _C_LADDER) is not None
+            and _ladder(len(e.backbone), _L_LADDER) is not None
+        )
+
+    def flush() -> Iterator[tuple[str, list[CnsResult]]]:
+        nonlocal pending
+        batchables = [
+            (i, e) for i, (g, e) in enumerate(pending) if e is not None
+        ]
+        results: dict[int, list[CnsResult]] = {}
+        if batchables:
+            Rb = _ladder(
+                max(e.ops.shape[0] for _, e in batchables), _R_LADDER
+            )
+            Cb = _ladder(
+                max(e.ops.shape[1] for _, e in batchables), _C_LADDER
+            )
+            Lb = _ladder(
+                max(len(e.backbone) for _, e in batchables), _L_LADDER
+            )
+            Bb = _ladder(len(batchables), _B_LADDER) or _B_LADDER[-1]
+            caps = caps_for(Bb, Rb, Cb, Lb, dcfg)
+            for lo in range(0, len(batchables), caps.B):
+                part = batchables[lo : lo + caps.B]
+                encs = [e for _, e in part]
+                while len(encs) < caps.B:
+                    encs.append(encs[0])
+                ops, starts, bbuf, ins, Lrr = _pack_batch(encs, caps)
+                build = device_build(
+                    jnp.asarray(ops), jnp.asarray(starts),
+                    jnp.asarray(bbuf), jnp.asarray(ins),
+                    jnp.asarray(Lrr), caps,
+                )
+                scores = dp_scores(
+                    build["win"], build["exit_cnt"], build["cov"],
+                    build["unsup"], build["long_u"], build["long_w"],
+                    build["long_esc"],
+                )
+                P = min(caps.V, 2 * caps.L + 64)
+                emit = devemit.backtrack_emit(
+                    build, scores, jnp.int32(cfg.min_weight), P
+                )
+                flags = np.asarray(build["flags"])
+                amb = np.asarray(emit["ambiguous"])
+                ovf = np.asarray(emit["overflow"])
+                bases = np.asarray(emit["bases"])
+                kept = np.asarray(emit["kept"])
+                bbpos = np.asarray(emit["bbpos"])
+                plen = np.asarray(emit["path_len"])
+                stats.batches += 1
+                for j, (pi, e) in enumerate(part):
+                    if flags[j] or amb[j] or ovf[j]:
+                        stats.host_fallbacks += 1
+                        results[pi] = _host_consensus(
+                            pending[pi][0], cfg
+                        )
+                    else:
+                        results[pi] = devemit.assemble_fragments(
+                            bases[j], kept[j], bbpos[j], int(plen[j]),
+                            cfg.min_length,
+                        )
+                    stats.real_nodes += int(e.ops.shape[0])
+        for pi, (group, e) in enumerate(pending):
+            if pi in results:
+                res = results[pi]
+            else:
+                stats.host_fallbacks += 1
+                res = _host_consensus(group, cfg)
+            stats.fragments += len(res)
+            stats.consensus_bases += sum(len(r.seq) for r in res)
+            yield group.sid, res
+        pending = []
+
+    for group, enc in encode_groups(groups, cfg):
+        stats.targets += 1
+        if enc is not None and not fits(enc):
+            enc = None  # over every ladder: host fallback
+        pending.append((group, enc))
+        if len(pending) >= cfg.batch_targets:
+            yield from flush()
+    yield from flush()

@@ -259,6 +259,10 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     overflow = chain_len > SM
 
     return {
+        "overflow_any": (
+            jnp.any(overflow & chain_valid, axis=(1, 2))
+            | jnp.any(n_chains > CH, axis=-1)
+        ),
         "valid": chain_valid,
         "p": p_anchor,
         "t": t_anchor,
@@ -267,7 +271,6 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
         "true_len": chain_len,
         "rev_base": rev_base,  # [B, R, CH, SM] depth-major (d=0 -> last)
         "rev_anchor": rev_anchor,
-        "overflow": jnp.any(overflow & chain_valid, axis=(1, 2)),
         "n_chains": n_chains,
     }
 
@@ -1376,7 +1379,7 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
         "cascade": absb["cascade"],
         "over_dd": absb["over_dd"],
         "over_dq": trans["over_dq"],
-        "chain_len": chains["overflow"],
+        "chain_len": chains["overflow_any"],
         "sentinel": sentinel,
     }
     out["flags"] = (
@@ -1385,7 +1388,7 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
         | absb["cascade"]
         | absb["over_dd"]
         | trans["over_dq"]
-        | chains["overflow"]
+        | chains["overflow_any"]
         | sentinel
     )
     return out

@@ -589,6 +589,22 @@ def run_stream(
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
     stats = PipelineStats()
     backend = resolve_backend(cfg)
+    if backend == "devbuild":
+        from pbdagcon_tpu.devpipe import run_devbuild_pipeline
+
+        for sid, results in run_devbuild_pipeline(
+            read_groups(stream, cfg.fmt), cfg, stats
+        ):
+            out.write_target(sid, results)
+            if journal is not None:
+                journal.mark(sid)
+        log.info(
+            "devbuild: targets=%d fragments=%d bases=%d batches=%d "
+            "host_fallbacks=%d",
+            stats.targets, stats.fragments, stats.consensus_bases,
+            stats.batches, stats.host_fallbacks,
+        )
+        return stats
     if (
         cfg.align
         and cfg.align_backend == "device"

@@ -93,7 +93,7 @@ def test_chain_extraction_matches_oracle():
                 ))
         want = [(ch.p, ch.t, ch.bases, ch.anchors, ch.r) for ch in chn]
         assert sorted(got) == sorted(want), f"target {b}"
-        assert not bool(np.asarray(chains["overflow"])[b])
+        assert not bool(np.asarray(chains["overflow_any"])[b])
 
 
 def _np_edges(lin, keys):
