@@ -106,21 +106,61 @@ def run_dazcon(
     return emitted
 
 
+def dazz_inputs_to_m4(
+    db_path: str, las_path: str
+) -> tuple[Iterable[str], dict[str, str]]:
+    """Native-container frontend: DAZZ_DB + .las -> (M4 lines, reads).
+
+    Replaces the reference's `Open_DB`/`Load_Read` + overlap iteration
+    (`src/cpp/DB.c`, `align.c`, SURVEY.md §2 C9) with the in-repo
+    readers (native/dazzdb.cpp). Read ids become their 0-based DB
+    indices; the COMP flag maps to the M4 query strand.
+    """
+    from pbdagcon_tpu.dazzio import DazzDb, read_las
+
+    with DazzDb(db_path) as db:
+        reads = {str(i): db.read(i) for i in range(len(db))}
+    lines = []
+    for o in read_las(las_path):
+        alen = len(reads[str(o.aread)])
+        blen = len(reads[str(o.bread)])
+        # M4: qname tname score pctsim qstrand qstart qend qlen
+        #     tstrand tstart tend tlen  (B = query, A = target).
+        span = max(1, o.aepos - o.abpos)
+        pct = max(0.0, 100.0 * (1.0 - o.diffs / span))
+        lines.append(
+            f"{o.bread} {o.aread} {o.diffs} {pct:.2f} "
+            f"{1 if o.comp else 0} {o.bbpos} {o.bepos} {blen} "
+            f"0 {o.abpos} {o.aepos} {alen}"
+        )
+    return lines, reads
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="tpu-dazcon",
-        description="dazcon-equivalent consensus: reads FASTA + M4 "
-        "overlaps in, one consensus FASTA record per target out",
+        description="dazcon-equivalent consensus: DAZZ_DB + .las "
+        "overlaps (reference-native containers) OR reads FASTA + M4 "
+        "overlaps in; one consensus FASTA record per target out",
     )
-    p.add_argument("m4", help="blasr -m 4 overlaps ('-' = stdin)")
-    p.add_argument("reads", help="reads FASTA (A- and B-reads)")
+    p.add_argument(
+        "overlaps",
+        help="'.las' overlap file (with a '.db' database) or blasr -m 4 "
+        "text ('-' = stdin)",
+    )
+    p.add_argument(
+        "reads", help="DAZZ_DB '<root>.db' or reads FASTA (A- and B-reads)"
+    )
     p.add_argument("-c", "--min-coverage", type=int, default=8)
     p.add_argument("-m", "--min-length", type=int, default=500)
     p.add_argument("-x", "--max-hits", type=int, default=85)
     args = p.parse_args(argv)
-    with open(args.reads) as f:
-        reads = read_fasta(f)
-    stream = sys.stdin if args.m4 == "-" else open(args.m4)
+    if args.reads.endswith(".db"):
+        stream, reads = dazz_inputs_to_m4(args.reads, args.overlaps)
+    else:
+        with open(args.reads) as f:
+            reads = read_fasta(f)
+        stream = sys.stdin if args.overlaps == "-" else open(args.overlaps)
     run_dazcon(
         stream, reads, sys.stdout,
         min_weight=args.min_coverage,

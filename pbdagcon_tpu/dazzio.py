@@ -1,0 +1,191 @@
+"""DAZZ_DB / .las container IO: ctypes bindings over the native reader
+(`native/dazzdb.cpp`) plus a fixture writer.
+
+The reference dazcon consumes Gene Myers' binary containers via bundled
+C (`src/cpp/DB.{h,c}`, `align.{h,c}`, SURVEY.md §2 C9 — reconstructed;
+mount empty). This module exposes the same capability: open a database,
+extract read sequences (2-bit unpacked), iterate `.las` overlaps. The
+writer emits the same byte layout the reader documents, giving
+round-trip tests and a way to generate fixtures; byte-layout notes live
+in dazzdb.cpp. Re-verify against real DAZZ_DB files when available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import struct
+
+import numpy as np
+
+from pbdagcon_tpu import native as _native
+
+_IDX_HEADER = 120
+_READ_REC = 40
+_LAS_HEADER = 16
+_OVL_REC = 40
+_COMP_FLAG = 0x1
+
+_B2 = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+@dataclasses.dataclass(frozen=True)
+class Overlap:
+    """One .las overlap: A-read is the target, B-read the query;
+    `comp` set means B aligns reverse-complemented."""
+
+    aread: int
+    bread: int
+    comp: bool
+    abpos: int
+    aepos: int
+    bbpos: int
+    bepos: int
+    diffs: int
+
+
+def _lib():
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (make -C native)")
+    if not hasattr(lib.dazz_open, "_configured"):
+        lib.dazz_open.restype = ctypes.c_void_p
+        lib.dazz_open.argtypes = [ctypes.c_char_p]
+        lib.dazz_close.argtypes = [ctypes.c_void_p]
+        lib.dazz_nreads.restype = ctypes.c_int
+        lib.dazz_nreads.argtypes = [ctypes.c_void_p]
+        lib.dazz_read_len.restype = ctypes.c_int
+        lib.dazz_read_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.dazz_read_seq.restype = ctypes.c_int
+        lib.dazz_read_seq.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.las_open.restype = ctypes.c_void_p
+        lib.las_open.argtypes = [ctypes.c_char_p]
+        lib.las_close.argtypes = [ctypes.c_void_p]
+        lib.las_novl.restype = ctypes.c_long
+        lib.las_novl.argtypes = [ctypes.c_void_p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.las_overlaps.restype = ctypes.c_int
+        lib.las_overlaps.argtypes = [ctypes.c_void_p] + [i32p] * 8
+        lib.dazz_open._configured = True
+    return lib
+
+
+class DazzDb:
+    """Read access to a DAZZ_DB database (<root>.db + hidden files)."""
+
+    def __init__(self, path: str):
+        lib = _lib()
+        self._lib = lib
+        self._h = lib.dazz_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open DAZZ_DB {path!r}")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.dazz_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __len__(self) -> int:
+        return int(self._lib.dazz_nreads(self._h))
+
+    def read(self, i: int) -> str:
+        n = int(self._lib.dazz_read_len(self._h, i))
+        if n < 0:
+            raise IndexError(i)
+        buf = ctypes.create_string_buffer(n + 1)
+        rc = self._lib.dazz_read_seq(self._h, i, buf)
+        if rc < 0:
+            raise IndexError(i)
+        return buf.raw[:n].decode()
+
+
+def read_las(path: str) -> list[Overlap]:
+    """All overlaps of a .las file (trace points skipped; dazcon
+    re-aligns from raw sequences)."""
+    lib = _lib()
+    h = lib.las_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open .las {path!r}")
+    try:
+        n = int(lib.las_novl(h))
+        arrs = [np.zeros(max(1, n), dtype=np.int32) for _ in range(8)]
+        lib.las_overlaps(
+            h, *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                 for a in arrs]
+        )
+        return [
+            Overlap(
+                int(arrs[0][i]), int(arrs[1][i]), bool(arrs[2][i]),
+                int(arrs[3][i]), int(arrs[4][i]), int(arrs[5][i]),
+                int(arrs[6][i]), int(arrs[7][i]),
+            )
+            for i in range(n)
+        ]
+    finally:
+        lib.las_close(h)
+
+
+# ---------------------------------------------------------------- writer
+
+
+def write_dazz_db(path: str, seqs: list[str]) -> None:
+    """Write <root>.db + hidden .idx/.bps in the documented layout."""
+    import os
+
+    d, root = os.path.split(path)
+    if root.endswith(".db"):
+        root = root[:-3]
+    with open(path, "w") as f:
+        f.write(f"files = 1\n  {len(seqs)} fixture fixture\n")
+    bps = bytearray()
+    idx = bytearray()
+    idx += struct.pack("<i", len(seqs))  # ureads
+    idx += b"\0" * (_IDX_HEADER - 4)
+    for s in seqs:
+        boff = len(bps)
+        packed = bytearray((len(s) + 3) // 4)
+        for k, ch in enumerate(s):
+            packed[k // 4] |= _B2[ch] << (6 - 2 * (k % 4))
+        bps += packed
+        rec = bytearray(_READ_REC)
+        struct.pack_into("<i", rec, 0, 0)  # origin
+        struct.pack_into("<i", rec, 4, len(s))  # rlen
+        struct.pack_into("<i", rec, 8, 0)  # fpulse
+        struct.pack_into("<q", rec, 16, boff)
+        struct.pack_into("<q", rec, 24, 0)  # coff
+        struct.pack_into("<i", rec, 32, 0)  # flags
+        idx += rec
+    with open(os.path.join(d, f".{root}.idx"), "wb") as f:
+        f.write(idx)
+    with open(os.path.join(d, f".{root}.bps"), "wb") as f:
+        f.write(bps)
+
+
+def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:
+    """Write a .las file (empty trace blocks) in the documented layout."""
+    out = bytearray()
+    out += struct.pack("<q", len(overlaps))
+    out += struct.pack("<i", tspace)
+    out += b"\0" * (_LAS_HEADER - 12)
+    for o in overlaps:
+        rec = bytearray(_OVL_REC)
+        struct.pack_into("<i", rec, 0, 0)  # tlen = 0 (no trace)
+        struct.pack_into("<i", rec, 4, o.diffs)
+        struct.pack_into("<i", rec, 8, o.abpos)
+        struct.pack_into("<i", rec, 12, o.aepos)
+        struct.pack_into("<i", rec, 16, o.bbpos)
+        struct.pack_into("<i", rec, 20, o.bepos)
+        struct.pack_into("<I", rec, 24, _COMP_FLAG if o.comp else 0)
+        struct.pack_into("<i", rec, 28, o.aread)
+        struct.pack_into("<i", rec, 32, o.bread)
+        out += rec
+    with open(path, "wb") as f:
+        f.write(out)
