@@ -1102,6 +1102,92 @@ struct Engine {
     size_t u = std::min(linears.size(), (size_t)upto);
     linears.erase(linears.begin(), linears.begin() + u);
   }
+
+  // ---- device-build encode mode -------------------------------------
+  // Encoded pileup (the devbuild wire format): per read the normalized
+  // column ops (1=M, 2=D, 3=I) and the inserted bases in column order.
+  // The raw group is retained alongside so flagged targets can run the
+  // exact host consensus (build_one path) without re-parsing.
+  struct EncRead {
+    int32_t start;
+    std::string ops;
+    std::string ins;
+  };
+  struct EncTarget {
+    std::string sid;
+    std::string bb;
+    std::vector<EncRead> reads;
+    Group group;  // retained for exact host fallback
+  };
+  std::vector<EncTarget> encoded;  // guarded by linears_mu
+
+  bool encode_one(const Group& grp, EncTarget& et, Worker& wk) {
+    et.sid = grp.sid;
+    et.bb = backbone_of(grp);
+    if (et.bb.empty()) return false;
+    et.reads.clear();
+    for (const Alignment& src : grp.alns) {
+      Alignment& a = wk.a;
+      a = src;
+      if (align) {
+        align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
+        a.qstr.swap(wk.aq);
+        a.tstr.swap(wk.at);
+        a.recompute_end();
+      } else if (a.qstr.size() != a.tstr.size()) {
+        ++dropped_records;
+        continue;
+      }
+      if (trim > 0) trim_aln(a, trim);
+      normalize_gaps(a, wk.ns);
+      if (a.qstr.empty()) continue;
+      EncRead er;
+      er.start = a.start;
+      er.ops.resize(a.qstr.size());
+      for (size_t i = 0; i < a.qstr.size(); ++i) {
+        char q = a.qstr[i], t = a.tstr[i];
+        if (q != '-' && t != '-') {
+          er.ops[i] = 1;
+        } else if (q == '-') {
+          er.ops[i] = 2;
+        } else {
+          er.ops[i] = 3;
+          er.ins.push_back(q);
+        }
+      }
+      et.reads.push_back(std::move(er));
+    }
+    return true;
+  }
+
+  int encode_all() {
+    size_t count = ready.size();
+    std::vector<EncTarget> built(count);
+    std::vector<uint8_t> ok(count, 0);
+    // Keep the group for fallback (copy before workers consume).
+    for (size_t i = 0; i < count; ++i) built[i].group = ready[i];
+    parallel_groups(count, [&](size_t i, Worker& wk) {
+      ok[i] = encode_one(built[i].group, built[i], wk) ? 1 : 0;
+      if (!ok[i]) ++dropped_groups;
+    });
+    std::lock_guard<std::mutex> lk(linears_mu);
+    size_t appended = 0;
+    for (size_t i = 0; i < count; ++i) {
+      if (ok[i]) {
+        encoded.push_back(std::move(built[i]));
+        ++appended;
+      }
+    }
+    ready.clear();
+    return (int)appended;
+  }
+
+  void clear_encoded(int upto) {
+    if (upto <= 0) return;
+    std::lock_guard<std::mutex> lk(linears_mu);
+    size_t u = std::min(encoded.size(), (size_t)upto);
+    encoded.erase(encoded.begin(), encoded.begin() + u);
+  }
 };
 
 }  // namespace dagcon
@@ -1457,6 +1543,120 @@ int dagcon_pack_batch(void* h, const int32_t* idxs, int nidx, int V, int W,
     }
   });
   return bad.load();
+}
+
+// ---- device-build encode mode --------------------------------------
+// Parse + normalize + encode complete groups (no graph build; the
+// build runs on the accelerator). Appends to the retained encoded list;
+// returns the number appended, or -1 on malformed input.
+int dagcon_encode_text(void* h, const char* text, long len, int fmt,
+                       int flush) {
+  Engine* e = (Engine*)h;
+  e->feed(text, (size_t)len, fmt, flush != 0);
+  int n = e->encode_all();
+  return e->error.empty() ? n : -1;
+}
+
+// meta[0]=R (#reads), meta[1]=max columns, meta[2]=backbone len,
+// meta[3]=total inserted bases. Returns sid length or -1.
+int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
+                    int sid_cap) {
+  Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
+  if (idx < 0 || idx >= (int)e->encoded.size()) return -1;
+  const Engine::EncTarget& t = e->encoded[idx];
+  size_t maxc = 0, ni = 0;
+  for (const auto& r : t.reads) {
+    maxc = std::max(maxc, r.ops.size());
+    ni += r.ins.size();
+  }
+  meta[0] = (int)t.reads.size();
+  meta[1] = (int)maxc;
+  meta[2] = (int)t.bb.size();
+  meta[3] = (int)ni;
+  int sl = (int)t.sid.size();
+  if (sid_buf && sid_cap > 0) {
+    int c = std::min(sl, sid_cap - 1);
+    memcpy(sid_buf, t.sid.data(), (size_t)c);
+    sid_buf[c] = 0;
+  }
+  return sl;
+}
+
+// Fill the batched device-build input arrays for targets `idxs` (all
+// arrays caller-allocated and zeroed): ops [n, R, C] u8, starts [n, R]
+// i32, bb [n, L] u8, ins [n, NI] u8, Lr [n] i32. Returns 0, or b+1 if
+// target b exceeds a cap.
+int dagcon_enc_fill(void* h, const int32_t* idxs, int nidx, int R, int C,
+                    int L, long NI, uint8_t* ops, int32_t* starts,
+                    uint8_t* bb, uint8_t* ins, int32_t* Lr) {
+  Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
+  std::atomic<int> bad(0);
+  e->parallel_groups((size_t)nidx, [&](size_t b, Engine::Worker&) {
+    int idx = idxs[b];
+    if (idx < 0 || idx >= (int)e->encoded.size()) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    const Engine::EncTarget& t = e->encoded[idx];
+    if ((int)t.reads.size() > R || (int)t.bb.size() > L) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    uint8_t* ob = ops + b * (size_t)R * C;
+    int32_t* sb = starts + b * (size_t)R;
+    uint8_t* bbp = bb + b * (size_t)L;
+    uint8_t* ib = ins + b * (size_t)NI;
+    memcpy(bbp, t.bb.data(), t.bb.size());
+    Lr[b] = (int32_t)t.bb.size();
+    long ni = 0;
+    for (size_t r = 0; r < t.reads.size(); ++r) {
+      const auto& rd = t.reads[r];
+      if ((int)rd.ops.size() > C ||
+          ni + (long)rd.ins.size() > NI) {
+        int exp = 0;
+        bad.compare_exchange_strong(exp, (int)b + 1);
+        return;
+      }
+      sb[r] = rd.start;
+      memcpy(ob + r * (size_t)C, rd.ops.data(), rd.ops.size());
+      memcpy(ib + ni, rd.ins.data(), rd.ins.size());
+      ni += (long)rd.ins.size();
+    }
+  });
+  return bad.load();
+}
+
+void dagcon_enc_clear(void* h, int upto) {
+  ((Engine*)h)->clear_encoded(upto);
+}
+
+// Exact host consensus for one encoded target (flagged-target
+// fallback): full native build + DP + backtrack + FASTA emission.
+int dagcon_enc_consensus(void* h, int idx, char** out, long* out_len) {
+  Engine* e = (Engine*)h;
+  Engine::Worker wk;
+  std::string fasta;
+  {
+    std::lock_guard<std::mutex> lk(e->linears_mu);
+    if (idx < 0 || idx >= (int)e->encoded.size()) return -1;
+    Linear lin;
+    if (e->build_one(e->encoded[idx].group, lin, wk)) {
+      dagcon::host_scores(lin, wk.score);
+      dagcon::backtrack(lin, wk.score.data(), wk.path);
+      dagcon::emit_consensus(lin, wk.path, e->min_weight, e->min_length,
+                             fasta);
+    }
+  }
+  char* buf = (char*)malloc(fasta.size() + 1);
+  memcpy(buf, fasta.data(), fasta.size());
+  buf[fasta.size()] = 0;
+  *out = buf;
+  *out_len = (long)fasta.size();
+  return 0;
 }
 
 // Host-side float32 DP for target idx: fills scores[n+1].

@@ -49,7 +49,7 @@ class DevCapsConfig:
     """Derived caps for secondary dimensions, scaled from (R, C, L)."""
 
     W: int = 64
-    SM: int = 12
+    SM: int = 8
     SE: int = 8
     DQ: int = 12
     K: int = 32
@@ -59,9 +59,10 @@ def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
     """Build-shape caps from the primary bucket dims."""
     from pbdagcon_tpu.ops.devbuild_jax import Caps
 
-    # chains per read ~ insertion runs (~C/8 worst case); the flat chain
-    # table R*CH must fit the 14-bit packed chain index.
-    CH = max(32, min(C // 8, 256, ((1 << 14) // R)))
+    # chains per read ~ insertion runs (~C/13 at PacBio-like noise); the
+    # flat chain table R*CH must fit the 14-bit packed chain index.
+    # Overflow (more chains than CH) flags the target to the host path.
+    CH = max(32, min(C // 16, 256, ((1 << 14) // R)))
     ND = min(4 * L + 256, (1 << 14) - 1)  # gpre key field limit
     return Caps(
         B=B, R=R, C=C, L=L,
@@ -235,3 +236,150 @@ def run_devbuild_pipeline(
         if len(pending) >= cfg.batch_targets:
             yield from flush()
     yield from flush()
+
+
+def run_devbuild_native(
+    stream,
+    out,
+    cfg: DagconConfig,
+    stats,
+    journal=None,
+    chunk_bytes: int = 16 << 20,
+):
+    """Native streaming devbuild: C++ parse/normalize/encode (threaded),
+    device build + DP + backtrack, host fragment assembly; flagged
+    targets use the engine's exact consensus. FASTA in input order."""
+    import os as _os
+
+    import jax.numpy as jnp
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.io import format_fasta
+    from pbdagcon_tpu.ops import devemit
+    from pbdagcon_tpu.ops.devbuild_jax import device_build
+    from pbdagcon_tpu.ops.dp import dp_scores
+
+    chunk_bytes = int(
+        _os.environ.get("DAGCON_CHUNK_MB", str(chunk_bytes >> 20))
+    ) << 20
+    eng = native.NativeEngine(
+        min_weight=cfg.min_weight, min_length=cfg.min_length,
+        trim=cfg.trim, threads=cfg.threads, align=cfg.align,
+    )
+    dcfg = DevCapsConfig()
+
+    def chunks():
+        if hasattr(stream, "read"):
+            while True:
+                buf = stream.read(chunk_bytes)
+                if not buf:
+                    break
+                yield buf.encode() if isinstance(buf, str) else buf, False
+        else:
+            acc, size = [], 0
+            for line in stream:
+                b = line.encode() if isinstance(line, str) else line
+                acc.append(b)
+                size += len(b)
+                if size >= chunk_bytes:
+                    yield b"".join(acc), False
+                    acc, size = [], 0
+            if acc:
+                yield b"".join(acc), False
+        yield b"", True
+
+    try:
+        for data, flush_f in chunks():
+            count = eng.encode_text(data, fmt=cfg.fmt, flush=flush_f)
+            if not count:
+                continue
+            stats.targets += count
+            metas = eng.enc_metas(count)
+            # bucket by ladder shape
+            buckets: dict[tuple, list[int]] = {}
+            fallback: list[int] = []
+            for i in range(count):
+                R, C, L, NI = (int(x) for x in metas[i])
+                Rb = _ladder(max(R, 1), _R_LADDER)
+                Cb = _ladder(max(C, 1), _C_LADDER)
+                Lb = _ladder(max(L, 1), _L_LADDER)
+                if Rb is None or Cb is None or Lb is None:
+                    fallback.append(i)
+                else:
+                    buckets.setdefault((Rb, Cb, Lb), []).append(i)
+            texts: dict[int, str] = {}
+            for i in fallback:
+                stats.host_fallbacks += 1
+                texts[i] = eng.enc_consensus(i)
+            for (Rb, Cb, Lb), idxs in buckets.items():
+                caps = caps_for(
+                    _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
+                    Rb, Cb, Lb, dcfg,
+                )
+                for lo in range(0, len(idxs), caps.B):
+                    part = idxs[lo : lo + caps.B]
+                    ni_max = int(
+                        max(metas[i, 3] for i in part)
+                    )
+                    NI = 1 << max(8, (max(1, ni_max) - 1).bit_length())
+                    ops, starts, bbuf, ins, Lrr = eng.enc_fill(
+                        part, caps.R, caps.C, caps.L, NI, B=caps.B
+                    )
+                    build = device_build(
+                        jnp.asarray(ops), jnp.asarray(starts),
+                        jnp.asarray(bbuf), jnp.asarray(ins),
+                        jnp.asarray(Lrr), caps,
+                    )
+                    scores = dp_scores(
+                        build["win"], build["exit_cnt"], build["cov"],
+                        build["unsup"], build["long_u"], build["long_w"],
+                        build["long_esc"],
+                    )
+                    P = min(caps.V, 2 * caps.L + 64)
+                    emit = devemit.backtrack_emit(
+                        build, scores, jnp.int32(cfg.min_weight), P
+                    )
+                    stats.batches += 1
+                    flags = np.asarray(build["flags"])
+                    amb = np.asarray(emit["ambiguous"])
+                    ovf = np.asarray(emit["overflow"])
+                    bases = np.asarray(emit["bases"])
+                    kept = np.asarray(emit["kept"])
+                    bbpos = np.asarray(emit["bbpos"])
+                    plen = np.asarray(emit["path_len"])
+                    for j, i in enumerate(part):
+                        if flags[j] or amb[j] or ovf[j]:
+                            stats.host_fallbacks += 1
+                            texts[i] = eng.enc_consensus(i)
+                        else:
+                            res = devemit.assemble_fragments(
+                                bases[j], kept[j], bbpos[j],
+                                int(plen[j]), cfg.min_length,
+                            )
+                            texts[i] = format_fasta(eng.enc_sid(i), res)
+            for i in range(count):
+                text = texts.get(i, "")
+                if text:
+                    out.stream.write(text)
+                    stats.fragments += text.count(">")
+                    stats.consensus_bases += sum(
+                        len(l) for l in text.splitlines()
+                        if not l.startswith(">")
+                    )
+                if journal is not None:
+                    journal.mark(eng.enc_sid(i))
+            eng.enc_clear(count)
+        return stats
+    finally:
+        try:
+            _, drec, dgrp = eng.status()
+            stats.dropped_records += drec
+            stats.dropped_groups += dgrp
+            if drec or dgrp:
+                log.warning(
+                    "input loss: %d records skipped, %d groups dropped",
+                    drec, dgrp,
+                )
+        except Exception:  # pragma: no cover
+            pass
+        eng.close()

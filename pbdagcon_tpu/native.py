@@ -117,6 +117,27 @@ def _load() -> ctypes.CDLL | None:
     lib.dagcon_clear_linears.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_engine_status.restype = ctypes.c_int
     lib.dagcon_engine_status.argtypes = [ctypes.c_void_p, c_long_p, c_long_p]
+    lib.dagcon_encode_text.restype = ctypes.c_int
+    lib.dagcon_encode_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.dagcon_enc_meta.restype = ctypes.c_int
+    lib.dagcon_enc_meta.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.dagcon_enc_fill.restype = ctypes.c_int
+    lib.dagcon_enc_fill.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, u8p, i32p, u8p, u8p, i32p,
+    ]
+    lib.dagcon_enc_clear.restype = None
+    lib.dagcon_enc_clear.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dagcon_enc_consensus.restype = ctypes.c_int
+    lib.dagcon_enc_consensus.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, c_char_pp, c_long_p,
+    ]
     lib.dagcon_engine_set_align.restype = None
     lib.dagcon_engine_set_align.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_align_pair.restype = ctypes.c_int
@@ -245,6 +266,88 @@ class NativeEngine:
 
     def clear_linears(self, upto: int) -> None:
         self._lib.dagcon_clear_linears(self._h, upto)
+
+    # ----------------------------------------------- device-build mode
+    def encode_text(
+        self, text: bytes, fmt: str = "m5", flush: bool = True
+    ) -> int:
+        """Parse + normalize + encode complete groups for the device
+        graph build; appends to the retained encoded list and returns
+        the number appended. Raises on malformed input."""
+        n = self._lib.dagcon_encode_text(
+            self._h, text, len(text), 0 if fmt == "m5" else 1,
+            1 if flush else 0,
+        )
+        if n < 0:
+            raise ValueError("malformed alignment record in input")
+        return n
+
+    def enc_metas(self, count: int, offset: int = 0) -> np.ndarray:
+        """[count, 4] int32: R, max columns, backbone len, #ins bases."""
+        out = np.zeros((count, 4), dtype=np.int32)
+        meta = (ctypes.c_int * 4)()
+        for i in range(count):
+            if (
+                self._lib.dagcon_enc_meta(
+                    self._h, offset + i, meta, None, 0
+                )
+                < 0
+            ):
+                raise IndexError(offset + i)
+            out[i] = meta[:]
+        return out
+
+    def enc_sid(self, idx: int) -> str:
+        sid_buf = ctypes.create_string_buffer(4096)
+        meta = (ctypes.c_int * 4)()
+        if self._lib.dagcon_enc_meta(self._h, idx, meta, sid_buf, 4096) < 0:
+            raise IndexError(idx)
+        return sid_buf.value.decode()
+
+    def enc_fill(
+        self, idxs: list[int], R: int, C: int, L: int, NI: int,
+        B: int | None = None,
+    ) -> tuple[np.ndarray, ...]:
+        """Fill batched device-build inputs for encoded targets `idxs`
+        (threaded C++). Returns (ops, starts, bb, ins, Lr)."""
+        n = len(idxs)
+        Bp = max(B or n, n)
+        ops = np.zeros((Bp, R, C), dtype=np.uint8)
+        starts = np.zeros((Bp, R), dtype=np.int32)
+        bb = np.zeros((Bp, L), dtype=np.uint8)
+        ins = np.zeros((Bp, NI), dtype=np.uint8)
+        Lr = np.zeros(Bp, dtype=np.int32)
+        ia = np.asarray(idxs, dtype=np.int32)
+
+        def p(a, typ):
+            return a.ctypes.data_as(ctypes.POINTER(typ))
+
+        rc = self._lib.dagcon_enc_fill(
+            self._h, p(ia, ctypes.c_int32), n, R, C, L, NI,
+            p(ops, ctypes.c_uint8), p(starts, ctypes.c_int32),
+            p(bb, ctypes.c_uint8), p(ins, ctypes.c_uint8),
+            p(Lr, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise ValueError(f"encoded target does not fit caps (rc={rc})")
+        return ops, starts, bb, ins, Lr
+
+    def enc_clear(self, upto: int) -> None:
+        self._lib.dagcon_enc_clear(self._h, upto)
+
+    def enc_consensus(self, idx: int) -> str:
+        """Exact host consensus for one encoded target (fallback)."""
+        out = ctypes.c_char_p()
+        out_len = ctypes.c_long()
+        rc = self._lib.dagcon_enc_consensus(
+            self._h, idx, ctypes.byref(out), ctypes.byref(out_len)
+        )
+        if rc != 0:
+            raise IndexError(idx)
+        try:
+            return ctypes.string_at(out, out_len.value).decode()
+        finally:
+            self._lib.dagcon_free(out)
 
     def get_linear(self, idx: int) -> LinearGraph:
         """Export target `idx` as a `LinearGraph` (CSR -> lists)."""

@@ -590,14 +590,21 @@ def run_stream(
     stats = PipelineStats()
     backend = resolve_backend(cfg)
     if backend == "devbuild":
-        from pbdagcon_tpu.devpipe import run_devbuild_pipeline
+        from pbdagcon_tpu import native as _native
+        from pbdagcon_tpu.devpipe import (
+            run_devbuild_native,
+            run_devbuild_pipeline,
+        )
 
-        for sid, results in run_devbuild_pipeline(
-            read_groups(stream, cfg.fmt), cfg, stats
-        ):
-            out.write_target(sid, results)
-            if journal is not None:
-                journal.mark(sid)
+        if cfg.use_native and _native.available():
+            run_devbuild_native(stream, out, cfg, stats, journal=journal)
+        else:
+            for sid, results in run_devbuild_pipeline(
+                read_groups(stream, cfg.fmt), cfg, stats
+            ):
+                out.write_target(sid, results)
+                if journal is not None:
+                    journal.mark(sid)
         log.info(
             "devbuild: targets=%d fragments=%d bases=%d batches=%d "
             "host_fallbacks=%d",

@@ -62,3 +62,62 @@ def test_devbuild_with_trim_and_fallbacks():
         text, "devbuild", min_weight=4, min_length=100, trim=2
     )
     assert dev == host
+
+
+def test_devbuild_native_streaming_matches_host():
+    """Native encoder + device build + device backtrack == native host
+    engine, over the streaming entry (m5 + align-mode pre)."""
+    import pytest
+
+    from pbdagcon_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    rng = random.Random(11)
+    for tid, _bb, alns in simulate_targets(42, 5, 400, 18):
+        for a in alns:
+            lines.append(to_m5(a, flip=rng.random() < 0.25))
+    text = "\n".join(lines) + "\n"
+    buf_h = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_h),
+        DagconConfig(backend="host", use_native=True, min_weight=3,
+                     min_length=60),
+    )
+    buf_d = _io.StringIO()
+    stats = run_stream(
+        _io.StringIO(text), FastaWriter(buf_d),
+        DagconConfig(backend="devbuild", use_native=True, min_weight=3,
+                     min_length=60),
+    )
+    assert buf_d.getvalue() == buf_h.getvalue()
+    assert stats.targets == 5
+
+
+def test_devbuild_native_align_mode():
+    import pytest
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.simulate import to_pre_raw
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    for tid, _bb, alns in simulate_targets(17, 3, 250, 10):
+        for a in alns:
+            lines.append(to_pre_raw(a))
+    text = "\n".join(lines) + "\n"
+    buf_h = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_h),
+        DagconConfig(backend="host", use_native=True, fmt="pre",
+                     align=True, min_weight=2, min_length=50),
+    )
+    buf_d = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_d),
+        DagconConfig(backend="devbuild", use_native=True, fmt="pre",
+                     align=True, min_weight=2, min_length=50),
+    )
+    assert buf_d.getvalue() == buf_h.getvalue()
