@@ -69,8 +69,29 @@ def build_parser() -> argparse.ArgumentParser:
         "backtrack all on device)",
     )
     p.add_argument(
+        "--align-backend",
+        choices=("host", "device"),
+        default="host",
+        help="where -a re-alignment runs: threaded C++ banded DP (host) "
+        "or the batched TPU kernel (device); both are exact",
+    )
+    p.add_argument(
         "--batch-targets", type=int, default=128,
         help="max targets per device batch",
+    )
+    p.add_argument(
+        "--transfer-cap-mb", type=int, default=0,
+        help="cap per host->device transfer (MB); 0 = probe from the "
+        "platform (tunneled backends get a conservative cap)",
+    )
+    p.add_argument(
+        "--chunk-mb", type=int, default=16,
+        help="streaming feed-chunk size (MB); DAGCON_CHUNK_MB overrides",
+    )
+    p.add_argument(
+        "--edge-upload", action="store_true",
+        help="upload graph batches as edge-CSR streams (~10x less "
+        "transfer; slow first compile on tunneled backends)",
     )
     p.add_argument(
         "--width", type=int, default=0,
@@ -120,16 +141,34 @@ def main(argv: list[str] | None = None) -> int:
         threads=args.threads,
         trim=args.trim,
         align=args.align,
+        align_backend=args.align_backend,
         fmt=args.fmt,
         backend=args.backend,
         batch_targets=args.batch_targets,
+        transfer_cap_bytes=args.transfer_cap_mb << 20,
+        chunk_mb=args.chunk_mb,
+        edge_upload=args.edge_upload,
     )
     stream = open_input(args.input)
 
     if args.distributed:
+        import os as _os
+
         import jax
 
-        jax.distributed.initialize()
+        # Cluster environments auto-detect; standalone runs (and the CPU
+        # multi-process simulation in tests) pass the standard
+        # coordinator variables explicitly.
+        kw = {}
+        if _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw["coordinator_address"] = _os.environ[
+                "JAX_COORDINATOR_ADDRESS"
+            ]
+        if _os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(_os.environ["JAX_NUM_PROCESSES"])
+        if _os.environ.get("JAX_PROCESS_ID"):
+            kw["process_id"] = int(_os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
         if not args.shard:
             args.shard = f"{jax.process_index()}/{jax.process_count()}"
 

@@ -47,6 +47,37 @@ class DagconConfig:
     # Use the native C++ loader/graph engine when available.
     use_native: bool = True
 
+    # --- transfer-link knobs (platform-probed defaults) ---
+    # Cap on any single host->device transfer, in bytes. Tunneled
+    # backends (axon) hang on transfers over ~64MB and move ~45MB/s, so
+    # dispatches are split to stay under this; on directly-attached
+    # devices the cap can be raised freely. 0 = probe from the platform
+    # (tunneled/experimental platforms get the conservative cap).
+    transfer_cap_bytes: int = 0
+    # Feed-chunk size for the streaming loader, in MB (DAGCON_CHUNK_MB
+    # env overrides).
+    chunk_mb: int = 16
+    # Upload graph batches as edge-CSR streams (~10x less transfer, but
+    # the device scatter program compiles slowly on tunneled backends);
+    # DAGCON_EDGE_UPLOAD=1 env also enables.
+    edge_upload: bool = False
+
+    def resolved_transfer_cap(self) -> int:
+        if self.transfer_cap_bytes > 0:
+            return self.transfer_cap_bytes
+        try:
+            import jax
+
+            plat = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - no devices
+            return 48_000_000
+        # tunneled/experimental platforms report "tpu" via the axon
+        # plugin but enumerate exactly one device behind a proxy; use
+        # the conservative cap there and a large one for local backends.
+        if plat == "cpu":
+            return 1 << 30
+        return 48_000_000
+
     def __post_init__(self) -> None:
         if self.fmt not in ("m5", "pre"):
             raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")

@@ -62,7 +62,7 @@ def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
     # chains per read ~ insertion runs (~C/13 at PacBio-like noise); the
     # flat chain table R*CH must fit the 14-bit packed chain index.
     # Overflow (more chains than CH) flags the target to the host path.
-    CH = max(32, min(C // 16, 256, ((1 << 14) // R)))
+    CH = max(32, min(C // 10, 320, ((1 << 14) // R)))
     ND = min(4 * L + 256, (1 << 14) - 1)  # gpre key field limit
     return Caps(
         B=B, R=R, C=C, L=L,
@@ -260,7 +260,7 @@ def run_devbuild_native(
     from pbdagcon_tpu.ops.dp import dp_scores
 
     chunk_bytes = int(
-        _os.environ.get("DAGCON_CHUNK_MB", str(chunk_bytes >> 20))
+        _os.environ.get("DAGCON_CHUNK_MB", str(cfg.chunk_mb))
     ) << 20
     eng = native.NativeEngine(
         min_weight=cfg.min_weight, min_length=cfg.min_length,

@@ -307,7 +307,7 @@ def _run_stream_native(
     import os as _os
 
     chunk_bytes = int(
-        _os.environ.get("DAGCON_CHUNK_MB", str(chunk_bytes >> 20))
+        _os.environ.get("DAGCON_CHUNK_MB", str(cfg.chunk_mb))
     ) << 20
 
     def chunks() -> Iterator[tuple[bytes, bool]]:
@@ -364,9 +364,16 @@ def _run_stream_native(
             futures: list[tuple[list[int], object]] = []
             for V, idxs in buckets.items():
                 if V < 0:
-                    for i in idxs:  # out-of-bucket: native host DP
-                        stats.host_fallbacks += 1
-                        scores[i] = eng.target_scores(offset + i, int(ns[i]))
+                    for i in idxs:  # out-of-bucket: colshard, else host
+                        s = _colshard_oversize(eng, offset + i, int(ns[i]), cfg)
+                        if s is not None:
+                            stats.batches += 1
+                            scores[i] = s
+                        else:
+                            stats.host_fallbacks += 1
+                            scores[i] = eng.target_scores(
+                                offset + i, int(ns[i])
+                            )
                     continue
                 abs_idxs = [offset + i for i in idxs]
                 try:
@@ -383,12 +390,14 @@ def _run_stream_native(
                         idxs = [
                             i for i in idxs if offset + i not in outliers
                         ]
-                    # The tunnel hangs on single transfers over ~64MB;
-                    # cap the per-dispatch batch (snapped DOWN to a pad
-                    # ladder value so padding can't round back up) so
-                    # the band tensor stays under 48MB.
+                    # Tunneled links hang on oversized single
+                    # transfers; cap the per-dispatch batch (snapped
+                    # DOWN to a pad ladder value so padding can't round
+                    # back up) so the band tensor stays under the
+                    # platform-probed transfer cap (DagconConfig).
+                    tcap = cfg.resolved_transfer_cap()
                     raw_cap = max(
-                        32, min(cfg.batch_targets, 48_000_000 // (V * W * 2))
+                        32, min(cfg.batch_targets, tcap // (V * W * 2))
                     )
                     part_cap = max(
                         (b for b in _B_LADDER if b <= raw_cap), default=32
@@ -411,9 +420,11 @@ def _run_stream_native(
                         )
                         import os as _os
 
-                        if backend == "xla" and _os.environ.get(
-                            "DAGCON_EDGE_UPLOAD", "0"
-                        ) == "1":
+                        if backend == "xla" and (
+                            cfg.edge_upload
+                            or _os.environ.get("DAGCON_EDGE_UPLOAD", "0")
+                            == "1"
+                        ):
                             # Edge-CSR arena: ~10x less upload; dense
                             # band scatter-reconstructed on device.
                             # Opt-in: the scatter program's AOT compile
@@ -540,6 +551,57 @@ def _run_stream_native(
         except Exception:  # pragma: no cover - status is best-effort
             pass
         eng.close()
+
+
+def _colshard_oversize(
+    eng, idx: int, n: int, cfg: DagconConfig
+) -> np.ndarray | None:
+    """Column-sharded DP for a target that overflows every V bucket
+    (SURVEY.md §5 long-context row): shard the node axis over the device
+    mesh with a ppermute boundary chain. Returns scores[n+1] or None
+    when ineligible (long edges beyond the W ladder, f32-exactness bound
+    exceeded, or no devices)."""
+    try:
+        import jax
+        from jax.sharding import Mesh
+
+        from pbdagcon_tpu.ops.dp_blocked import blocked_safe
+        from pbdagcon_tpu.parallel.colshard import colsharded_scores
+
+        devs = jax.devices()
+        if not devs:
+            return None
+        lin = eng.get_linear(idx)
+        W = next((w for w in cfg.w_buckets if lin.span <= w), None)
+        if W is None:
+            return None
+        from pbdagcon_tpu.ops.dp import pad_batch
+
+        D = len(devs)
+        V = -(-max(lin.n, 1) // (64 * D)) * (64 * D)
+        batch = pad_batch([lin], V, W, K=1)
+        max_esc = max(
+            float(np.abs(batch["cov"]).max(initial=0)) * 0.5
+            + float(batch["win_count"].max(initial=0)),
+            10.0,
+        )
+        if not blocked_safe(max_esc, V):
+            return None
+        mesh = Mesh(np.array(devs), ("targets",))
+        s = colsharded_scores(
+            batch["win_count"][0].astype(np.int32),
+            batch["exit_count"][0].astype(np.int32),
+            batch["cov"][0].astype(np.int32),
+            batch["unsup"][0],
+            mesh,
+        )
+        full = np.empty(lin.n + 1, dtype=np.float32)
+        full[: lin.n] = s[: lin.n]
+        full[lin.n] = 0.0
+        return full
+    except Exception:  # pragma: no cover - any failure -> exact host DP
+        log.warning("colshard path failed; host fallback", exc_info=True)
+        return None
 
 
 def _choose_layout_native(

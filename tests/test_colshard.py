@@ -53,3 +53,43 @@ def test_colsharded_matches_host():
         if done >= 3:
             break
     assert done >= 1, "no eligible (span <= W) targets generated"
+
+
+def test_oversize_backbone_routes_to_colshard():
+    """A target overflowing every V bucket goes through the column-
+    sharded DP (not the host fallback) and stays byte-identical."""
+    import io as _io
+    import random
+
+    import pytest
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.config import DagconConfig
+    from pbdagcon_tpu.io import FastaWriter
+    from pbdagcon_tpu.pipeline import run_stream
+    from pbdagcon_tpu.simulate import simulate_targets, to_m5
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    for tid, _bb, alns in simulate_targets(21, 2, 500, 12):
+        for a in alns:
+            lines.append(to_m5(a))
+    text = "\n".join(lines) + "\n"
+    buf_h = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_h),
+        DagconConfig(backend="host", use_native=True, min_weight=3,
+                     min_length=50),
+    )
+    buf_c = _io.StringIO()
+    stats = run_stream(
+        _io.StringIO(text), FastaWriter(buf_c),
+        DagconConfig(backend="xla", use_native=True, min_weight=3,
+                     min_length=50, v_buckets=(256,)),
+    )
+    assert buf_c.getvalue() == buf_h.getvalue()
+    # One fixture target carries a long edge (span > max W) and is
+    # ineligible by design; the other must go through colshard.
+    assert stats.batches >= 1, "colshard path not taken"
+    assert stats.host_fallbacks <= 1
