@@ -173,6 +173,43 @@ def main() -> int:
     log(f"bench: host {cfg.threads}-thread: {mt_dt:.2f}s "
         f"({host_mt_rate:,.0f} b/s)")
 
+    # ---- round-2: all-on-device graph build (backend=devbuild) ----
+    # Graph build + merge + DP + backtrack on the chip; host only
+    # parses/normalizes/encodes. One timed run (compiles are cached by
+    # the first); disable with BENCH_DEVBUILD=0.
+    devbuild_rate = 0.0
+    if os.environ.get("BENCH_DEVBUILD", "1") == "1":
+        try:
+            dcfg = DagconConfig(
+                min_weight=cfg.min_weight, min_length=cfg.min_length,
+                threads=cfg.threads, backend="devbuild", fmt=cfg.fmt,
+                align=cfg.align, batch_targets=cfg.batch_targets,
+            )
+            out = io.StringIO()
+            run_stream(  # warmup/compile
+                io.TextIOWrapper(io.BytesIO(text)), FastaWriter(out), dcfg
+            )
+            out = io.StringIO()
+            t = time.time()
+            dstats = run_stream(
+                io.TextIOWrapper(io.BytesIO(text)), FastaWriter(out), dcfg
+            )
+            ddt = time.time() - t
+            fasta_db = out.getvalue()
+            db_bases = sum(
+                len(l) for l in fasta_db.splitlines()
+                if not l.startswith(">")
+            )
+            devbuild_rate = db_bases / ddt
+            parity = "OK" if fasta_db == fasta_dev else "MISMATCH"
+            log(
+                f"bench: devbuild path {devbuild_rate:,.0f} b/s "
+                f"(fallbacks={dstats.host_fallbacks}/{dstats.targets}, "
+                f"parity {parity})"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"bench: devbuild metric skipped ({e})")
+
     # ---- kernel-level metric: consensus DP, device vs one host core ----
     # (the stage the chip owns; end-to-end is host-bound on this 4-core
     # dev box, so the per-stage ratio shows the chip's real headroom)
@@ -250,6 +287,7 @@ def main() -> int:
                 "parity": "device FASTA == single-core FASTA",
                 "dp_device_targets_per_s_resident": round(dp_dev_rate, 1),
                 "dp_host_1core_targets_per_s": round(dp_host_rate, 1),
+                "devbuild_bases_per_s": round(devbuild_rate, 1),
                 "host_allthreads_bases_per_s": round(host_mt_rate, 1),
                 "host_allthreads_vs_baseline": round(
                     host_mt_rate / base_rate, 3
