@@ -89,21 +89,86 @@ def run_dazcon(
     min_length: int = 500,
     max_hits: int = 85,
     min_coverage_hits: int = 2,
+    batch_targets: int = 64,
 ) -> int:
-    """Full dazcon-equivalent flow; returns number of sequences emitted."""
+    """Full dazcon-equivalent flow; returns number of sequences emitted.
+
+    Targets are batched through the device DP (`ops.dp.batch_scores`)
+    like the dagcon pipeline — scores are bitwise equal to the host DP,
+    so output is unchanged; targets that overflow the bucket ladder run
+    the host DP."""
+    from pbdagcon_tpu.ops.dp import (
+        LongEdgeOverflow,
+        batch_scores,
+        choose_layout,
+    )
+
     per_target = select_hits(parse_m4_stream(m4_stream), max_hits=max_hits)
     emitted = 0
-    for tname in sorted(per_target):
-        tseq = reads.get(tname)
-        if tseq is None or len(per_target[tname]) < min_coverage_hits:
-            continue
-        cns = consensus_one_target(
-            tname, tseq, per_target[tname], reads, min_weight
-        )
+    names = [
+        t for t in sorted(per_target)
+        if reads.get(t) is not None
+        and len(per_target[t]) >= min_coverage_hits
+    ]
+    v_ladder = (256, 512, 1024, 2048, 4096, 8192, 16384)
+
+    def emit(tname: str, lin, scores) -> None:
+        nonlocal emitted
+        path = backtrack(lin, scores)
+        cns = consensus_one_from_path(lin, path, min_weight)
         if len(cns) >= min_length:
             out.write(f">{tname}\n{cns}\n")
             emitted += 1
+
+    for lo in range(0, len(names), batch_targets):
+        part = names[lo : lo + batch_targets]
+        lins = [
+            _target_lin(t, reads[t], per_target[t], reads) for t in part
+        ]
+        buckets: dict[int, list[int]] = {}
+        for i, lin in enumerate(lins):
+            V = next((v for v in v_ladder if lin.n <= v), None)
+            buckets.setdefault(V if V is not None else -1, []).append(i)
+        results: dict[int, object] = {}
+        for V, idxs in buckets.items():
+            blins = [lins[i] for i in idxs]
+            scores = None
+            if V > 0:
+                try:
+                    W, K = choose_layout(blins)
+                    scores = batch_scores(blins, V, W, K)
+                except LongEdgeOverflow:
+                    scores = None
+                except Exception:  # pragma: no cover - no device
+                    scores = None
+            for j, i in enumerate(idxs):
+                results[i] = (
+                    scores[j, : lins[i].n]
+                    if scores is not None
+                    else host_scores(lins[i])
+                )
+        for i, tname in enumerate(part):
+            emit(tname, lins[i], results[i])
     return emitted
+
+
+def _target_lin(tname, tseq, hits, reads):
+    """Re-align hits and build the linearized merged graph for one
+    target (the dazcon consensus-worker preamble)."""
+    pre_lines = m4_to_pre(hits, reads)
+    raw = [parse_pre(line) for line in pre_lines]
+    try:  # batched device aligner (exact; falls back to scalar DP)
+        from pbdagcon_tpu.ops.align_tpu import align_batch
+
+        gapped = align_batch([(a.qstr, a.tstr) for a in raw])
+        alns = []
+        for a, (gq, gt) in zip(raw, gapped):
+            a.qstr, a.tstr = gq, gt
+            alns.append(a.recompute_end())
+    except Exception:  # pragma: no cover - no jax backend
+        alns = [align_record(a) for a in raw]
+    g = graph_from_group(tseq, alns)
+    return linearize(g, sid=tname)
 
 
 def dazz_inputs_to_m4(
