@@ -55,6 +55,12 @@ class DevCapsConfig:
     K: int = 32
 
 
+def ins_cap(caps) -> int:
+    """Fixed ins-base stream width for a caps combination (~C/6 per
+    read covers >3x the PacBio-like insertion rate)."""
+    return max(256, caps.R * caps.C // 6)
+
+
 def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
     """Build-shape caps from the primary bucket dims."""
     from pbdagcon_tpu.ops.devbuild_jax import Caps
@@ -108,9 +114,10 @@ def _pack_batch(encs: list[EncodedGroup], caps):
     starts = np.zeros((B, caps.R), dtype=np.int32)
     bb = np.zeros((B, caps.L), dtype=np.uint8)
     Lr = np.zeros(B, dtype=np.int32)
-    # pad the ins stream to a power of two (stable compiled shapes).
-    ni_max = max(1, max((len(e.ins_base) for e in encs), default=1))
-    ni = 1 << max(8, (ni_max - 1).bit_length())
+    # The ins-stream width is a FUNCTION of the caps (one compiled
+    # program per caps combination — a data-dependent width would
+    # recompile per batch). Overflowing targets fall back.
+    ni = ins_cap(caps)
     ins = np.zeros((B, ni), dtype=np.uint8)
     for b, e in enumerate(encs):
         R, C = e.ops.shape
@@ -177,6 +184,12 @@ def run_devbuild_pipeline(
             )
             Bb = _ladder(len(batchables), _B_LADDER) or _B_LADDER[-1]
             caps = caps_for(Bb, Rb, Cb, Lb, dcfg)
+            # ins-stream width is fixed per caps; oversized targets
+            # take the host path instead of truncating.
+            batchables = [
+                (i, e) for i, e in batchables
+                if len(e.ins_base) <= ins_cap(caps)
+            ]
             for lo in range(0, len(batchables), caps.B):
                 part = batchables[lo : lo + caps.B]
                 encs = [e for _, e in part]
@@ -316,12 +329,14 @@ def run_devbuild_native(
                     _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
                     Rb, Cb, Lb, dcfg,
                 )
+                NI = ins_cap(caps)
+                over_ni = [i for i in idxs if int(metas[i, 3]) > NI]
+                for i in over_ni:
+                    stats.host_fallbacks += 1
+                    texts[i] = eng.enc_consensus(i)
+                idxs = [i for i in idxs if int(metas[i, 3]) <= NI]
                 for lo in range(0, len(idxs), caps.B):
                     part = idxs[lo : lo + caps.B]
-                    ni_max = int(
-                        max(metas[i, 3] for i in part)
-                    )
-                    NI = 1 << max(8, (max(1, ni_max) - 1).bit_length())
                     ops, starts, bbuf, ins, Lrr = eng.enc_fill(
                         part, caps.R, caps.C, caps.L, NI, B=caps.B
                     )
