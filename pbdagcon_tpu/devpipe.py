@@ -48,9 +48,9 @@ def _ladder(x: int, ladder: tuple[int, ...]) -> int | None:
 class DevCapsConfig:
     """Derived caps for secondary dimensions, scaled from (R, C, L)."""
 
-    W: int = 64
-    SM: int = 8
-    SE: int = 8
+    W: int = 96
+    SM: int = 20
+    SE: int = 16
     DQ: int = 12
     K: int = 32
 
@@ -68,8 +68,8 @@ def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
     # chains per read ~ insertion runs (~C/13 at PacBio-like noise); the
     # flat chain table R*CH must fit the 14-bit packed chain index.
     # Overflow (more chains than CH) flags the target to the host path.
-    CH = max(32, min(C // 10, 320, ((1 << 14) // R)))
-    ND = min(4 * L + 256, (1 << 14) - 1)  # gpre key field limit
+    CH = max(32, min(C // 8, 512, ((1 << 14) // R)))
+    ND = min(8 * L + 256, (1 << 14) - 1)  # gpre key field limit
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,

@@ -83,20 +83,29 @@ def backtrack_emit(build, scores, min_weight, P: int):
     esc_tgt_cov = jnp.concatenate(
         [cov, jnp.zeros((B, W + 1), jnp.float32)], axis=-1
     )
+    # Shifted target views shifted[b, w, v] = x[b, v + 1 + w] via a
+    # single patch-extraction op per array (keeps the HLO small — an
+    # unrolled slice loop explodes compile time at W = 96).
+    def shifted(x):
+        p = jax.lax.conv_general_dilated_patches(
+            x[:, 1:, None].astype(jnp.float32),
+            filter_shape=(W,),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # [B, V+1, W] -> slice to V rows
+        return jnp.swapaxes(p[:, :V, :], 1, 2)  # [B, W, V]
+
+    sh_sc = shifted(sc_ext)
+    sh_uns = shifted(esc_tgt_unsup) > 0.5
+    sh_cov = shifted(esc_tgt_cov)
     winT = jnp.swapaxes(win, 1, 2)  # [B, W, V]
     wkeyT = jnp.swapaxes(build["wkey"], 1, 2)
-    tot_l = []
-    for w in range(W):
-        tgt_sc = jax.lax.slice(sc_ext, (0, w + 1), (B, w + 1 + V))
-        t_uns = jax.lax.slice(esc_tgt_unsup, (0, w + 1), (B, w + 1 + V))
-        t_cov = jax.lax.slice(esc_tgt_cov, (0, w + 1), (B, w + 1 + V))
-        cnt = winT[:, w, :]
-        esc = jnp.where(
-            t_uns, _PENALTY, cnt.astype(jnp.float32) - 0.5 * t_cov
-        )
-        tot_l.append(
-            jnp.where(cnt >= 0, esc + tgt_sc, NEG_INF)
-        )
+    esc_band = jnp.where(
+        sh_uns, _PENALTY, winT.astype(jnp.float32) - 0.5 * sh_cov
+    )
+    tot_band = jnp.where(winT >= 0, esc_band + sh_sc, NEG_INF)
+
     vidx = jnp.arange(V, dtype=I32)[None, :]
     # exit edge: tgt score = 0, esc = count.
     x_cnt = build["exit_cnt"]
@@ -111,53 +120,49 @@ def backtrack_emit(build, scores, min_weight, P: int):
         jnp.clip(jnp.where(l_w == n[:, None], V, l_w), 0, V),
         axis=-1,
     )
-    l_tot = jnp.where(l_u >= 0, l_tot, NEG_INF)
+    l_tot = jnp.where(l_u >= 0, l_tot, NEG_INF)  # [B, K]
+    tot_long = jnp.where(
+        l_u[:, :, None] == vidx[:, None, :], l_tot[:, :, None], NEG_INF
+    )  # [B, K, V]
 
-    # argpick per node: running lexicographic (max tot, min masked key),
-    # tracking whether any tie involved an uncertain key.
-    best = tot_exit
-    best_key = build["exit_key"] & KEY_MASK
-    best_next = jnp.broadcast_to(n[:, None], (B, V))  # exit target
-    tie_unc = jnp.zeros((B, V), bool)
-    best_kunc = (build["exit_key"] & KEY_UNCERTAIN) != 0
-    for w in range(W):
-        tot = tot_l[w]
-        key = wkeyT[:, w, :]
-        kmask = key & KEY_MASK
-        kunc = (key & KEY_UNCERTAIN) != 0
-        better = tot > best
-        tied = (tot == best) & (tot > NEG_INF)
-        tie_unc = tie_unc | (tied & (kunc | best_kunc))
-        take = better | (tied & (kmask < best_key))
-        best = jnp.where(take, tot, best)
-        best_key = jnp.where(take, kmask, best_key)
-        best_kunc = jnp.where(take, kunc, best_kunc)
-        best_next = jnp.where(take, vidx + 1 + w, best_next)
-    for k in range(K):
-        tot = jnp.where(l_u[:, k : k + 1] == vidx, l_tot[:, k : k + 1],
-                        NEG_INF)
-        key = jnp.broadcast_to(
-            build["long_key"][:, k : k + 1], (B, V)
-        )
-        kmask = key & KEY_MASK
-        kunc = (key & KEY_UNCERTAIN) != 0
-        better = tot > best
-        tied = (tot == best) & (tot > NEG_INF)
-        tie_unc = tie_unc | (tied & (kunc | best_kunc))
-        take = better | (tied & (kmask < best_key))
-        best = jnp.where(take, tot, best)
-        best_key = jnp.where(take, kmask, best_key)
-        best_kunc = jnp.where(take, kunc, best_kunc)
-        best_next = jnp.where(
-            take,
-            jnp.where(
-                l_w[:, k : k + 1] == n[:, None], n[:, None],
-                l_w[:, k : k + 1],
-            ),
-            best_next,
-        )
+    # vectorized argpick over the (W + 1 + K) candidate axis:
+    # lexicographic (max tot, min masked key) + uncertain-tie flag.
+    cand_tot = jnp.concatenate(
+        [tot_band, tot_exit[:, None, :], tot_long], axis=1
+    )
+    cand_key = jnp.concatenate(
+        [
+            wkeyT,
+            build["exit_key"][:, None, :],
+            jnp.broadcast_to(build["long_key"][:, :, None], (B, K, V)),
+        ],
+        axis=1,
+    )
+    best = jnp.max(cand_tot, axis=1)  # [B, V]
+    is_max = (cand_tot == best[:, None, :]) & (best[:, None, :] > NEG_INF)
+    kmask = jnp.where(is_max, cand_key & KEY_MASK, jnp.int32(1 << 30))
+    kmin = jnp.min(kmask, axis=1)
+    n_max = jnp.sum(is_max, axis=1)
+    node_unc = (n_max > 1) & jnp.any(
+        is_max & ((cand_key & KEY_UNCERTAIN) != 0), axis=1
+    )
+    sel = is_max & (kmask == kmin[:, None, :])
+    j = jnp.argmax(sel, axis=1)  # [B, V] winning candidate index
+    is_band = j < W
+    is_exit = j == W
+    lw_sel = jnp.take_along_axis(
+        l_w, jnp.clip(j - W - 1, 0, K - 1), axis=-1
+    )
+    best_next = jnp.where(
+        is_band,
+        vidx + 1 + j,
+        jnp.where(
+            is_exit,
+            n[:, None],
+            jnp.where(lw_sel == n[:, None], n[:, None], lw_sel),
+        ),
+    )
     nxt = jnp.where(best > NEG_INF, best_next, n[:, None])
-    node_unc = tie_unc
 
     # ---- enter pick ---------------------------------------------------
     ent = build["enter"]
