@@ -1558,22 +1558,25 @@ int dagcon_encode_text(void* h, const char* text, long len, int fmt,
 }
 
 // meta[0]=R (#reads), meta[1]=max columns, meta[2]=backbone len,
-// meta[3]=total inserted bases. Returns sid length or -1.
+// meta[3]=total inserted bases, meta[4]=total columns.
+// Returns sid length or -1.
 int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
                     int sid_cap) {
   Engine* e = (Engine*)h;
   std::lock_guard<std::mutex> lk(e->linears_mu);
   if (idx < 0 || idx >= (int)e->encoded.size()) return -1;
   const Engine::EncTarget& t = e->encoded[idx];
-  size_t maxc = 0, ni = 0;
+  size_t maxc = 0, ni = 0, totc = 0;
   for (const auto& r : t.reads) {
     maxc = std::max(maxc, r.ops.size());
     ni += r.ins.size();
+    totc += r.ops.size();
   }
   meta[0] = (int)t.reads.size();
   meta[1] = (int)maxc;
   meta[2] = (int)t.bb.size();
   meta[3] = (int)ni;
+  meta[4] = (int)totc;
   int sl = (int)t.sid.size();
   if (sid_buf && sid_cap > 0) {
     int c = std::min(sl, sid_cap - 1);

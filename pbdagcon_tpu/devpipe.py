@@ -46,13 +46,28 @@ def _ladder(x: int, ladder: tuple[int, ...]) -> int | None:
 
 @dataclasses.dataclass(frozen=True)
 class DevCapsConfig:
-    """Derived caps for secondary dimensions, scaled from (R, C, L)."""
+    """Derived caps for secondary dimensions, scaled from (R, C, L).
+
+    Two profiles: `compact()` sizes for PacBio-like insertion density
+    (~9%/position) and `heavy()` for gap-heavy pileups (~25%). The
+    pipeline picks per batch from the measured insertion fraction;
+    an under-sized pick only raises the flag/fallback rate — output is
+    exact either way."""
 
     W: int = 96
     SM: int = 20
     SE: int = 16
     DQ: int = 12
     K: int = 32
+    nd_per_l: int = 8
+
+    @staticmethod
+    def compact() -> "DevCapsConfig":
+        return DevCapsConfig(W=64, SM=12, SE=10, nd_per_l=4)
+
+    @staticmethod
+    def heavy() -> "DevCapsConfig":
+        return DevCapsConfig()
 
 
 def ins_cap(caps) -> int:
@@ -69,7 +84,7 @@ def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
     # flat chain table R*CH must fit the 14-bit packed chain index.
     # Overflow (more chains than CH) flags the target to the host path.
     CH = max(32, min(C // 8, 512, ((1 << 14) // R)))
-    ND = min(8 * L + 256, (1 << 14) - 1)  # gpre key field limit
+    ND = min(cfg.nd_per_l * L + 256, (1 << 14) - 1)  # gpre key limit
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,
@@ -183,7 +198,14 @@ def run_devbuild_pipeline(
                 max(len(e.backbone) for _, e in batchables), _L_LADDER
             )
             Bb = _ladder(len(batchables), _B_LADDER) or _B_LADDER[-1]
-            caps = caps_for(Bb, Rb, Cb, Lb, dcfg)
+            tot_ins = sum(len(e.ins_base) for _, e in batchables)
+            tot_cols = sum(int(e.ncols.sum()) for _, e in batchables)
+            prof = (
+                DevCapsConfig.compact()
+                if tot_ins <= 0.11 * max(1, tot_cols)
+                else DevCapsConfig.heavy()
+            )
+            caps = caps_for(Bb, Rb, Cb, Lb, prof)
             # ins-stream width is fixed per caps; oversized targets
             # take the host path instead of truncating.
             batchables = [
@@ -308,11 +330,18 @@ def run_devbuild_native(
                 continue
             stats.targets += count
             metas = eng.enc_metas(count)
+            tot_ins = int(metas[:, 3].sum())
+            tot_cols = int(metas[:, 4].sum())
+            dcfg = (
+                DevCapsConfig.compact()
+                if tot_ins <= 0.11 * max(1, tot_cols)
+                else DevCapsConfig.heavy()
+            )
             # bucket by ladder shape
             buckets: dict[tuple, list[int]] = {}
             fallback: list[int] = []
             for i in range(count):
-                R, C, L, NI = (int(x) for x in metas[i])
+                R, C, L, NI, _tc = (int(x) for x in metas[i])
                 Rb = _ladder(max(R, 1), _R_LADDER)
                 Cb = _ladder(max(C, 1), _C_LADDER)
                 Lb = _ladder(max(L, 1), _L_LADDER)
