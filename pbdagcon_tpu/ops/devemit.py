@@ -87,12 +87,18 @@ def backtrack_emit(build, scores, min_weight, P: int):
     # single patch-extraction op per array (keeps the HLO small — an
     # unrolled slice loop explodes compile time at W = 96).
     def shifted(x):
+        # precision=HIGHEST is parity-critical: TPU convs default to
+        # reduced precision, which would round the f32 scores flowing
+        # through the identity patch filter (bf16 has 8 mantissa bits;
+        # scores are exact multiples of 0.5 into the thousands) and
+        # corrupt tie evaluation.
         p = jax.lax.conv_general_dilated_patches(
             x[:, 1:, None].astype(jnp.float32),
             filter_shape=(W,),
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
+            precision=jax.lax.Precision.HIGHEST,
         )  # [B, V+1, W] -> slice to V rows
         return jnp.swapaxes(p[:, :V, :], 1, 2)  # [B, W, V]
 
