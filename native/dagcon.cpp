@@ -1558,8 +1558,10 @@ int dagcon_encode_text(void* h, const char* text, long len, int fmt,
 }
 
 // meta[0]=R (#reads), meta[1]=max columns, meta[2]=backbone len,
-// meta[3]=total inserted bases, meta[4]=total columns.
-// Returns sid length or -1.
+// meta[3]=total inserted bases, meta[4]=total columns,
+// meta[5]=max insertion chains per read (device CH requirement),
+// meta[6]=max chain length (insertions in one inter-match segment;
+// device SM requirement). Returns sid length or -1.
 int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
                     int sid_cap) {
   Engine* e = (Engine*)h;
@@ -1567,16 +1569,36 @@ int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
   if (idx < 0 || idx >= (int)e->encoded.size()) return -1;
   const Engine::EncTarget& t = e->encoded[idx];
   size_t maxc = 0, ni = 0, totc = 0;
+  int max_ch = 0, max_run = 0;
   for (const auto& r : t.reads) {
     maxc = std::max(maxc, r.ops.size());
     ni += r.ins.size();
     totc += r.ops.size();
+    // Chains mirror the device build (ops/devbuild_jax.py
+    // extract_chains): one chain per inter-match segment that holds
+    // >=1 insertion; its length is the segment's insertion count.
+    int seg = 0, cur_seg = -1, cur_len = 0, nch = 0;
+    for (char op : r.ops) {
+      if (op == 1) {
+        ++seg;
+      } else if (op == 3) {
+        if (seg != cur_seg) {
+          cur_seg = seg;
+          ++nch;
+          cur_len = 0;
+        }
+        if (++cur_len > max_run) max_run = cur_len;
+      }
+    }
+    if (nch > max_ch) max_ch = nch;
   }
   meta[0] = (int)t.reads.size();
   meta[1] = (int)maxc;
   meta[2] = (int)t.bb.size();
   meta[3] = (int)ni;
   meta[4] = (int)totc;
+  meta[5] = max_ch;
+  meta[6] = max_run;
   int sl = (int)t.sid.size();
   if (sid_buf && sid_cap > 0) {
     int c = std::min(sl, sid_cap - 1);

@@ -71,24 +71,60 @@ class DevCapsConfig:
 
 
 def ins_cap(caps) -> int:
-    """Fixed ins-base stream width for a caps combination (~C/6 per
-    read covers >3x the PacBio-like insertion rate)."""
-    return max(256, caps.R * caps.C // 6)
+    """Fixed ins-base stream width for a caps combination. Tied to the
+    trie-node cap: a target's trie can never need more nodes than it
+    has inserted bases, so NI <= ND keeps both caps consistent and the
+    host-side NI pre-filter implies the device node cap holds."""
+    return max(256, caps.ND)
 
 
-def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
-    """Build-shape caps from the primary bucket dims."""
+# Secondary-dimension ladders: measured per-batch requirements snap up
+# to a rung so one workload compiles O(1) shapes while the hot arrays
+# (which scale with SM * ND and R * CH) stay ~2x tighter than the old
+# worst-case formulas. Undersized picks only flag targets to the exact
+# host path — output is bit-identical either way.
+_SM_LADDER = (8, 14, 20)
+_CH_LADDER = (32, 64, 128, 256, 512)
+_ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
+
+
+def caps_for(
+    B: int, R: int, C: int, L: int, cfg: DevCapsConfig,
+    *,
+    ch_need: int | None = None,
+    sm_need: int | None = None,
+    nd_need: int | None = None,
+):
+    """Build-shape caps from the primary bucket dims.
+
+    `ch_need`/`sm_need`/`nd_need` are measured per-batch maxima (from
+    the encoder metas: max insertion chains per read, max chain length,
+    max per-target inserted bases); when given, the matching cap snaps
+    to the smallest ladder rung that covers the batch instead of the
+    worst-case formula.
+    """
     from pbdagcon_tpu.ops.devbuild_jax import Caps
 
     # chains per read ~ insertion runs (~C/13 at PacBio-like noise); the
     # flat chain table R*CH must fit the 14-bit packed chain index.
     # Overflow (more chains than CH) flags the target to the host path.
-    CH = max(32, min(C // 8, 512, ((1 << 14) // R)))
+    ch_max = max(32, min(C // 8, 512, ((1 << 14) // R)))
+    CH = ch_max
+    if ch_need is not None:
+        CH = min(ch_max, _ladder(max(1, ch_need), _CH_LADDER) or ch_max)
+    SM = cfg.SM
+    if sm_need is not None:
+        SM = _ladder(max(1, sm_need), _SM_LADDER) or _SM_LADDER[-1]
     ND = min(cfg.nd_per_l * L + 256, (1 << 14) - 1)  # gpre key limit
+    if nd_need is not None:
+        ND = min(
+            _ladder(max(1, nd_need), _ND_LADDER) or (1 << 14) - 1,
+            (1 << 14) - 1,
+        )
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,
-        SM=cfg.SM,
+        SM=SM,
         NC=R * CH,
         ND=ND,
         SE=cfg.SE,
@@ -97,6 +133,27 @@ def caps_for(B: int, R: int, C: int, L: int, cfg: DevCapsConfig):
         W=cfg.W,
         K=cfg.K,
     )
+
+
+def chain_stats(ops: np.ndarray) -> tuple[int, int]:
+    """(max chains per read, max chain length) for an encoded ops
+    array [R, C] — the Python-path mirror of the native meta[5:7]."""
+    from pbdagcon_tpu.ops.devbuild import OP_INS, OP_MATCH
+
+    m = ops == OP_MATCH
+    seg = np.cumsum(m, axis=-1) - m
+    isin = ops == OP_INS
+    if not isin.any():
+        return 0, 0
+    r_idx, c_idx = np.nonzero(isin)
+    key = r_idx.astype(np.int64) * (ops.shape[1] + 1) + seg[r_idx, c_idx]
+    _uniq, first_idx, counts = np.unique(
+        key, return_index=True, return_counts=True
+    )
+    chains_per_read = np.bincount(
+        r_idx[first_idx], minlength=ops.shape[0]
+    )
+    return int(chains_per_read.max()), int(counts.max())
 
 
 def encode_groups(
@@ -205,7 +262,16 @@ def run_devbuild_pipeline(
                 if tot_ins <= 0.11 * max(1, tot_cols)
                 else DevCapsConfig.heavy()
             )
-            caps = caps_for(Bb, Rb, Cb, Lb, prof)
+            ch_n = sm_n = nd_n = 0
+            for _, e in batchables:
+                c_, s_ = chain_stats(e.ops)
+                ch_n = max(ch_n, c_)
+                sm_n = max(sm_n, s_)
+                nd_n = max(nd_n, len(e.ins_base))
+            caps = caps_for(
+                Bb, Rb, Cb, Lb, prof,
+                ch_need=ch_n, sm_need=sm_n, nd_need=nd_n,
+            )
             # ins-stream width is fixed per caps; oversized targets
             # take the host path instead of truncating.
             batchables = [
@@ -341,7 +407,7 @@ def run_devbuild_native(
             buckets: dict[tuple, list[int]] = {}
             fallback: list[int] = []
             for i in range(count):
-                R, C, L, NI, _tc = (int(x) for x in metas[i])
+                R, C, L, NI, _tc = (int(x) for x in metas[i, :5])
                 Rb = _ladder(max(R, 1), _R_LADDER)
                 Cb = _ladder(max(C, 1), _C_LADDER)
                 Lb = _ladder(max(L, 1), _L_LADDER)
@@ -354,9 +420,13 @@ def run_devbuild_native(
                 stats.host_fallbacks += 1
                 texts[i] = eng.enc_consensus(i)
             for (Rb, Cb, Lb), idxs in buckets.items():
+                sub = metas[idxs]
                 caps = caps_for(
                     _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
                     Rb, Cb, Lb, dcfg,
+                    ch_need=int(sub[:, 5].max()),
+                    sm_need=int(sub[:, 6].max()),
+                    nd_need=int(sub[:, 3].max()),
                 )
                 NI = ins_cap(caps)
                 over_ni = [i for i in idxs if int(metas[i, 3]) > NI]

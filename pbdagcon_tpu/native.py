@@ -283,10 +283,10 @@ class NativeEngine:
         return n
 
     def enc_metas(self, count: int, offset: int = 0) -> np.ndarray:
-        """[count, 5] int32: R, max columns, backbone len, #ins bases,
-        total columns."""
-        out = np.zeros((count, 5), dtype=np.int32)
-        meta = (ctypes.c_int * 5)()
+        """[count, 7] int32: R, max columns, backbone len, #ins bases,
+        total columns, max ins-chains/read, max chain length."""
+        out = np.zeros((count, 7), dtype=np.int32)
+        meta = (ctypes.c_int * 7)()
         for i in range(count):
             if (
                 self._lib.dagcon_enc_meta(
@@ -300,7 +300,7 @@ class NativeEngine:
 
     def enc_sid(self, idx: int) -> str:
         sid_buf = ctypes.create_string_buffer(4096)
-        meta = (ctypes.c_int * 5)()
+        meta = (ctypes.c_int * 7)()
         if self._lib.dagcon_enc_meta(self._h, idx, meta, sid_buf, 4096) < 0:
             raise IndexError(idx)
         return sid_buf.value.decode()

@@ -331,6 +331,7 @@ def _run_stream_native(
                 yield b"".join(acc), False
         yield b"", True
 
+    producer_thread = None  # set once the loader-mode producer starts
     try:
         if backend == "host":
             for data, flush in chunks():
@@ -499,11 +500,14 @@ def _run_stream_native(
         q: "_queue.Queue[object]" = _queue.Queue()
         SENTINEL = object()
         producer_err: list[BaseException] = []
+        stop = threading.Event()
 
         def producer() -> None:
             try:
                 for data, flush in chunks():
                     slots.acquire()
+                    if stop.is_set():
+                        return
                     appended = eng.linearize_text(
                         data, fmt=cfg.fmt, flush=flush
                     )
@@ -517,6 +521,7 @@ def _run_stream_native(
                 q.put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
+        producer_thread = (t, stop, slots)
         t.start()
         pending: dict | None = None
         while True:
@@ -539,6 +544,15 @@ def _run_stream_native(
             raise producer_err[0]
         return stats
     finally:
+        # On a main-thread error the producer may still be inside the
+        # engine (or blocked on a slot); freeing the engine under it is
+        # a use-after-free. Signal, unblock, and join before close.
+        if producer_thread is not None:
+            _t, _stop, _slots = producer_thread
+            _stop.set()
+            _slots.release()
+            _slots.release()
+            _t.join(timeout=60)
         try:
             _, drec, dgrp = eng.status()
             stats.dropped_records += drec
