@@ -166,58 +166,85 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     read index, seq (global creation order), overflow flag.
     """
     B, R, C, CH, SM = caps.B, caps.R, caps.C, caps.CH, caps.SM
-    # ins columns per read, compacted in column order.
-    ikey = jnp.where(dec["is_ins"], 0, 1) * C + jnp.arange(C, dtype=I32)
-    iidx = jnp.argsort(ikey, axis=-1)  # [B, R, C]
-    n_ins = jnp.sum(dec["is_ins"], axis=-1, dtype=I32)  # [B, R]
-    # global ins-stream rank (read-major, column order) for gather into
-    # ins_base [B, NI]: rank = per-batch cumsum of is_ins over (r, c).
-    flat_ins = dec["is_ins"].reshape(B, R * C)
-    rank = jnp.cumsum(flat_ins, axis=-1, dtype=I32) - 1
-    rank = rank.reshape(B, R, C)
     NI = ins_base.shape[1]
-    base_at_col = jnp.take_along_axis(
-        ins_base, jnp.clip(rank, 0, NI - 1).reshape(B, R * C), axis=-1
-    ).reshape(B, R, C)
-    base_at_col = jnp.where(dec["is_ins"], base_at_col, 0)
+    RC = R * C
+    BIGK = jnp.int32(1 << 24)
+    # All chain work happens in the COMPACT ins stream [B, NI] (the
+    # stream ins_base already lives in: read-major, column order). The
+    # padded [B, R, C] grid is touched only by one cumsum + one
+    # searchsorted; every gather is output-sized (NI or R*CH), which on
+    # this TPU is ~10x cheaper than gathering on the padded grid.
+    flat_ins = dec["is_ins"].reshape(B, RC)
+    cum = jnp.cumsum(flat_ins, axis=-1, dtype=I32)  # inclusive
+    total = cum[:, -1]  # [B] total ins per target
+    k = jnp.arange(NI, dtype=I32)
+    # pos[b, k] = flat (r, c) index of the k-th insertion. Binary
+    # search, not co-sort: the row (R*C wide) dwarfs the queries, so
+    # method='sort' would pay a full-grid sort while the scan pays
+    # log2(R*C) output-sized gathers.
+    pos = jax.vmap(
+        lambda row, q: jnp.searchsorted(
+            row, q, side="left", method="scan_unrolled"
+        )
+    )(cum, jnp.broadcast_to(k + 1, (B, NI))).astype(I32)
+    valid_k = k[None, :] < total[:, None]
+    posc = jnp.clip(pos, 0, RC - 1)
+    r_of = posc // C
+    seg_k = jnp.take_along_axis(dec["seg"].reshape(B, RC), posc, axis=-1)
+    anchor_k = jnp.take_along_axis(
+        dec["tpos"].reshape(B, RC), posc, axis=-1
+    )
+    base_k = ins_base  # by construction aligned with k
 
-    ins_seg = jnp.take_along_axis(dec["seg"], iidx, axis=-1)
-    ins_anchor = jnp.take_along_axis(dec["tpos"], iidx, axis=-1)
-    ins_b = jnp.take_along_axis(base_at_col, iidx, axis=-1)
-    j = jnp.arange(C, dtype=I32)
-    ins_valid = j[None, None, :] < n_ins[..., None]
-    ins_seg = jnp.where(ins_valid, ins_seg, jnp.iinfo(jnp.int32).max)
-
-    # chain = run of equal seg within the read's ins list.
-    newc = jnp.concatenate(
+    # chain = run of equal (read, seg) in the compact stream.
+    r_s = jnp.where(valid_k, r_of, R)
+    seg_s = jnp.where(valid_k, seg_k, BIGK)
+    newc = valid_k & jnp.concatenate(
         [
-            jnp.ones((B, R, 1), dtype=bool),
-            ins_seg[..., 1:] != ins_seg[..., :-1],
+            jnp.ones((B, 1), dtype=bool),
+            (r_s[:, 1:] != r_s[:, :-1]) | (seg_s[:, 1:] != seg_s[:, :-1]),
         ],
         axis=-1,
-    ) & ins_valid
-    chain_id = jnp.where(
-        ins_valid, jnp.cumsum(newc, axis=-1, dtype=I32) - 1, CH + C
     )
-    n_chains = jnp.sum(newc, axis=-1, dtype=I32)
+    gch = jnp.cumsum(newc, axis=-1, dtype=I32) - 1  # global chain id
+    gch_s = jnp.where(valid_k, gch, BIGK)
 
-    # chain_id is nondecreasing per read: chain boundaries by
-    # searchsorted (batched via vmap over [B, R] rows).
+    # per-read chain counts from the global ids at read boundaries.
+    rq = jnp.arange(R, dtype=I32)
+    read_lo, read_hi = _row_ss_lr(r_s, jnp.broadcast_to(rq, (B, R)))
+    has_ins = read_hi > read_lo
+    first_g = jnp.take_along_axis(
+        gch, jnp.clip(read_lo, 0, NI - 1), axis=-1
+    )
+    last_g = jnp.take_along_axis(
+        gch, jnp.clip(read_hi - 1, 0, NI - 1), axis=-1
+    )
+    n_chains = jnp.where(has_ins, last_g - first_g + 1, 0)  # [B, R]
+
+    # (r, ch) grid -> global chain id; boundaries by ONE searchsorted
+    # (right(g) == left(g+1) on integer keys, so query g and g+1 in the
+    # same call).
     ch = jnp.arange(CH, dtype=I32)
-    ss = jax.vmap(jax.vmap(
-        lambda row, q: jnp.searchsorted(row, q, side="left", method="sort")
-    ))
-    ss_r = jax.vmap(jax.vmap(
-        lambda row, q: jnp.searchsorted(row, q, side="right", method="sort")
-    ))
-    qs = jnp.broadcast_to(ch, (B, R, CH))
-    chain_first = ss(chain_id, qs).astype(I32)  # [B, R, CH]
-    chain_len_all = (ss_r(chain_id, qs) - chain_first).astype(I32)
     chain_valid = ch[None, None, :] < n_chains[..., None]
-    chain_len = jnp.where(chain_valid, chain_len_all, 0)
-    cf = jnp.clip(chain_first, 0, C - 1)
-    chain_seg = jnp.take_along_axis(ins_seg, cf, axis=-1)
-    chain_seg = jnp.where(chain_valid, chain_seg, 0)
+    g_grid = first_g[..., None] + ch[None, None, :]  # [B, R, CH]
+    g_q = jnp.where(chain_valid, g_grid, BIGK).reshape(B, R * CH)
+    both = _row_searchsorted(
+        gch_s, jnp.concatenate([g_q, g_q + 1], axis=-1), side="left"
+    )
+    chain_first = both[:, : R * CH].reshape(B, R, CH)
+    chain_len = jnp.where(
+        chain_valid,
+        both[:, R * CH :].reshape(B, R, CH) - chain_first,
+        0,
+    )
+    cf = jnp.clip(chain_first, 0, NI - 1)
+    chain_seg = jnp.where(
+        chain_valid,
+        jnp.take_along_axis(
+            seg_k, cf.reshape(B, R * CH), axis=-1
+        ).reshape(B, R, CH),
+        0,
+    )
 
     # p / t anchors from mpos: seg s -> p = s==0 ? 0 : mpos[s-1],
     # t = s < nmat ? mpos[s] : L+1.
@@ -235,27 +262,24 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     )
 
     # packed reversed strings + per-depth anchors: depth d (1..SM) is
-    # the d-th base from the END of the chain.
+    # the d-th base from the END of the chain. Gathers stay in k-space.
     d = jnp.arange(SM, dtype=I32)
-    src = cf[..., None] + chain_len[..., None] - 1 - d[None, None, None, :]
+    src = (
+        chain_first[..., None]
+        + chain_len[..., None]
+        - 1
+        - d[None, None, None, :]
+    )
     src_ok = (d[None, None, None, :] < chain_len[..., None]) & chain_valid[
         ..., None
     ]
-    srcc = jnp.clip(src, 0, C - 1)
-    rev_base = jnp.where(
-        src_ok,
-        jnp.take_along_axis(
-            ins_b, srcc.reshape(B, R, CH * SM), axis=-1
-        ).reshape(B, R, CH, SM),
-        0,
-    )
-    rev_anchor = jnp.where(
-        src_ok,
-        jnp.take_along_axis(
-            ins_anchor, srcc.reshape(B, R, CH * SM), axis=-1
-        ).reshape(B, R, CH, SM),
-        0,
-    )
+    srcc = jnp.clip(src, 0, NI - 1).reshape(B, R * CH * SM)
+    # base (8b) and anchor (< 2^24) pack into one i32 -> ONE big gather
+    # instead of two (the [B, R*CH*SM] output is the cost).
+    ba_k = (anchor_k << 8) | base_k.astype(I32)
+    ba = jnp.take_along_axis(ba_k, srcc, axis=-1).reshape(B, R, CH, SM)
+    rev_base = jnp.where(src_ok, ba & 0xFF, 0).astype(base_k.dtype)
+    rev_anchor = jnp.where(src_ok, ba >> 8, 0)
     overflow = chain_len > SM
 
     return {
@@ -288,6 +312,18 @@ def _row_searchsorted(rows, queries, side="left"):
     for _ in range(rows.ndim - 1):
         fn = jax.vmap(fn)
     return fn(rows, queries).astype(I32)
+
+
+def _row_ss_lr(rows, queries):
+    """(left, right) boundaries in ONE co-sort: for integer keys,
+    right(k) == left(k+1), so querying [q, q+1] in a single call costs
+    one row-sort instead of two (the row, not the queries, dominates
+    when rows are wide)."""
+    Q = queries.shape[-1]
+    both = _row_searchsorted(
+        rows, jnp.concatenate([queries, queries + 1], axis=-1), side="left"
+    )
+    return both[..., :Q], both[..., Q:]
 
 
 def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
@@ -378,8 +414,7 @@ def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
         ]
     )  # [(L+2)*(DQ+1) + (L+2)]
     qk = jnp.broadcast_to(qk, (B, qk.shape[0]))
-    lo = _row_searchsorted(sk, qk, side="left")
-    hi = _row_searchsorted(sk, qk, side="right")
+    lo, hi = _row_ss_lr(sk, qk)
     cnt = hi - lo
     rkey = jnp.where(
         cnt > 0,
@@ -407,8 +442,7 @@ def _presence_hist(values, valid, upper, caps_n):
     sv = jnp.sort(jnp.where(valid, values, jnp.int32(upper + 1)), axis=-1)
     q = jnp.arange(upper, dtype=I32)
     qb = jnp.broadcast_to(q, (B, upper))
-    lo = _row_searchsorted(sv, qb, side="left")
-    hi = _row_searchsorted(sv, qb, side="right")
+    lo, hi = _row_ss_lr(sv, qb)
     return hi - lo
 
 
@@ -465,7 +499,9 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     )
 
     # per-pm bonus = number of absorbed chains ending at t = pm+1.
-    bonus = _presence_hist(pmc, absorbed, caps.L + 2, N)
+    # Folded into one sort with the strip_t histogram (computed below
+    # from the same absorbed mask) via region-offset keys.
+    HL = caps.L + 2
 
     # strip: drop depth-1 base (shift rev arrays left), t -= 1.
     rb2 = jnp.where(
@@ -545,8 +581,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         (B, caps.L + 2, DQ),
     )
     tk = target_keys.reshape(B, -1)
-    fi = _row_searchsorted(sk2, tk, side="left")
-    hi_ = _row_searchsorted(sk2, tk, side="right")
+    fi, hi_ = _row_ss_lr(sk2, tk)
     died_cnt_pq = (hi_ - fi).reshape(B, caps.L + 2, DQ)
     fv = jnp.take_along_axis(sp2, jnp.clip(fi, 0, N - 1), axis=-1)
     kmatch = jnp.take_along_axis(sk2, jnp.clip(fi, 0, N - 1), axis=-1) == tk
@@ -570,10 +605,25 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         axis=-1,
     )
 
-    # tries that received strips (len >= 1): uncertain tries.
-    strip_t = _presence_hist(
-        jnp.clip(t2, 0, caps.L + 1), absorbed & ~died, caps.L + 2, N
-    ) > 0
+    # bonus (absorbed per pm) + strip_t (tries that received strips,
+    # len >= 1) in ONE sort via region-offset keys.
+    hv = jnp.concatenate(
+        [
+            jnp.where(absorbed, pmc, jnp.int32(2 * HL + 1)),
+            jnp.where(
+                absorbed & ~died,
+                jnp.clip(t2, 0, HL - 1) + HL,
+                jnp.int32(2 * HL + 1),
+            ),
+        ],
+        axis=-1,
+    )
+    sv_h = jnp.sort(hv, axis=-1)
+    qb_h = jnp.broadcast_to(jnp.arange(2 * HL, dtype=I32), (B, 2 * HL))
+    lo_h, hi_h = _row_ss_lr(sv_h, qb_h)
+    cnts_h = hi_h - lo_h
+    bonus = cnts_h[:, :HL]
+    strip_t = cnts_h[:, HL:] > 0
 
     return {
         "valid": valid2,
@@ -1144,25 +1194,40 @@ def assemble_band(
             cnt.astype(jnp.float32) - 0.5 * cq.astype(jnp.float32),
         )
 
+    # The per-dq (count, key) fields all gather at the SAME index pic,
+    # so pack them into one i32 per (p, dq) in p-space — one v-space
+    # gather per dq instead of four. Within this loop keys only take
+    # two shapes (phase-1|rd or phase-2|rd|UNCERTAIN), so 29 bits
+    # suffice: cnt(14) | sel(1) | rd(14).
+    c1_all = trans["count_pq"]  # [B, L+2, DQ]
+    c2_all = absb["died_cnt_pq"]
+    sel_all = c1_all > 0
+    rd_all = jnp.where(
+        sel_all,
+        jnp.clip(trans["rkey_pq"], 0, (1 << 14) - 1),
+        jnp.clip(absb["died_read"], 0, (1 << 14) - 1),
+    )
+    packed_all = (
+        (jnp.clip(c1_all + c2_all, 0, (1 << 14) - 1) << 15)
+        | (sel_all.astype(I32) << 14)
+        | rd_all
+    )
     for dq in range(2, DQ + 1):
         qlin = jnp.take_along_axis(
             lin_bb_full, jnp.clip(pic + dq, 0, L + 1), axis=-1
         )
-        c1 = bf(trans["count_pq"][..., dq - 1])
-        c2 = bf(absb["died_cnt_pq"][..., dq - 1])
-        k1 = _key_int(
-            1, rd=jnp.clip(bf(trans["rkey_pq"][..., dq - 1]), 0,
-                           (1 << 14) - 1)
+        pk = bf(packed_all[..., dq - 1])
+        c12 = pk >> 15
+        rd = pk & ((1 << 14) - 1)
+        key = jnp.where(
+            (pk >> 14) & 1 == 1,
+            _key_int(1, rd=rd),
+            _key_int(2, rd=rd) | KEY_UNCERTAIN,
         )
-        k2 = _key_int(
-            2, rd=jnp.clip(bf(absb["died_read"][..., dq - 1]), 0,
-                           (1 << 14) - 1)
-        ) | KEY_UNCERTAIN
-        key = jnp.where(c1 > 0, k1, k2)
-        ok = is_bb & (pic + dq <= Lr[:, None]) & ((c1 + c2) > 0)
+        ok = is_bb & (pic + dq <= Lr[:, None]) & (c12 > 0)
         span = qlin - vb
         win, wkey, flags = add_class(
-            win, wkey, flags, ok & (span <= W), span, c1 + c2, key,
+            win, wkey, flags, ok & (span <= W), span, c12, key,
         )
         # long candidates in (p, dq) space (smaller than per-v).
         qlin_p = jnp.take_along_axis(
@@ -1233,17 +1298,20 @@ def assemble_band(
     su_n = se_field(se["node_lin"])
     su_c = se_field(se["count"])
     su_k = se_field(se["key"])
+    # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
+    # the per-slot v-space loop gathers 2 arrays instead of 3.
+    su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
     # per backbone p: short run = rows with key exactly 2p.
     p_of_v = pic  # [B, V]
     qk = jnp.where(is_bb, p_of_v * 2, -2)
-    lo = _row_searchsorted(su_key, qk)
-    hi = _row_searchsorted(su_key, qk, side="right")
+    lo, hi = _row_ss_lr(su_key, qk)
     flags = flags | jnp.any(is_bb & (hi - lo > SE), axis=-1)
     for si in range(SE):
         j = jnp.clip(lo + si, 0, N - 1)
         ok = is_bb & (lo + si < hi)
-        tgt = jnp.take_along_axis(su_n, j, axis=-1)
-        cnt = jnp.take_along_axis(su_c, j, axis=-1)
+        nc = jnp.take_along_axis(su_nc, j, axis=-1)
+        tgt = (nc >> 14).astype(I32)
+        cnt = (nc & ((1 << 14) - 1)).astype(I32)
         key = jnp.take_along_axis(su_k, j, axis=-1)
         win, wkey, flags = add_class(
             win, wkey, flags, ok, tgt - vb, cnt, key
@@ -1325,8 +1393,8 @@ def assemble_band(
     e_key = jnp.where(q == 1, 0, e_key)
     # enter start edges: p == 0 rows (ukey == 0; never routed to K).
     zero = jnp.zeros((B, 1), dtype=I32)
-    lo0 = _row_searchsorted(su_key, zero)[:, 0]
-    hi0 = _row_searchsorted(su_key, zero, side="right")[:, 0]
+    lo0_, hi0_ = _row_ss_lr(su_key, zero)
+    lo0, hi0 = lo0_[:, 0], hi0_[:, 0]
     flags = flags | (hi0 - lo0 > SE)
     es_tgt, es_cnt, es_key, es_ok = [], [], [], []
     for si in range(SE):
