@@ -421,6 +421,148 @@ static void align_pair(const std::string& q, const std::string& t,
   out_t.assign(ts.rbegin(), ts.rend());
 }
 
+// Affine-gap banded aligner (SPEC §1.6) — alternate scorer for the -a
+// path. The reference's SimpleAligner wraps blasr_libcpp's guided
+// affine aligner (`src/cpp/SimpleAligner.cpp`, SURVEY.md §2 C8;
+// parameters unreadable — mount empty), so the exact scheme cannot be
+// matched yet; this Gotoh scorer exists to (a) expose an affine option
+// and (b) measure consensus sensitivity to the scorer
+// (docs/SCORER_SENSITIVITY.md). Must agree exactly with
+// pbdagcon_tpu/aligner.py::align_pair_affine.
+//
+// Gap of length k scores open + (k-1)*extend, with open <= extend <= 0
+// (enforced by config validation) so a single long gap always beats two
+// adjacent gaps. Tie-breaks (normative): in H, diag > up (gap in t) >
+// left (gap in q); in a gap state, close (reopen from H) > extend.
+struct AffineParams {
+  int32_t match = 1, mismatch = -2, open = -4, extend = -1;
+};
+
+struct AffineScratch {
+  std::vector<int32_t> H, U, Lf;  // band-only rows, (m+1) x (2*bw+1)
+  std::vector<int32_t> lo, hi;
+  std::string qs, ts;
+};
+
+static void align_pair_affine(const std::string& q, const std::string& t,
+                              std::string& out_q, std::string& out_t,
+                              AffineScratch& as, const AffineParams& pp) {
+  const int32_t M = pp.match, X = pp.mismatch, O = pp.open, E = pp.extend;
+  int32_t m = (int32_t)q.size(), n = (int32_t)t.size();
+  if (m == 0) {
+    out_q.assign((size_t)n, '-');
+    out_t = t;
+    return;
+  }
+  if (n == 0) {
+    out_q = q;
+    out_t.assign((size_t)m, '-');
+    return;
+  }
+  int64_t bw64 = std::max<int64_t>(64, std::abs((int64_t)m - n) + 32);
+  int32_t bw = (int32_t)bw64;
+  int32_t Wb = 2 * bw + 1;
+  as.H.resize(((size_t)m + 1) * Wb);
+  as.U.resize(((size_t)m + 1) * Wb);
+  as.Lf.resize(((size_t)m + 1) * Wb);
+  as.lo.resize((size_t)m + 1);
+  as.hi.resize((size_t)m + 1);
+  int32_t* Hb = as.H.data();
+  int32_t* Ub = as.U.data();
+  int32_t* Lb = as.Lf.data();
+  int32_t* lo = as.lo.data();
+  int32_t* hi = as.hi.data();
+  lo[0] = 1;
+  hi[0] = 0;  // row 0 is analytic border
+  for (int32_t i = 1; i <= m; ++i) {
+    int32_t center = (int32_t)((int64_t)i * n / m);
+    lo[i] = std::max(1, center - bw);
+    hi[i] = std::min(n, center + bw);
+  }
+  auto border = [&](int32_t k) -> int32_t { return O + (k - 1) * E; };
+  auto Hget = [&](int32_t i, int32_t j) -> int32_t {
+    if (i == 0) return j == 0 ? 0 : border(j);
+    if (j == 0) return border(i);
+    if (j < lo[i] || j > hi[i]) return A_NEG;
+    return Hb[(size_t)i * Wb + (j - lo[i])];
+  };
+  auto Uget = [&](int32_t i, int32_t j) -> int32_t {
+    if (i == 0) return A_NEG;
+    if (j == 0) return border(i);
+    if (j < lo[i] || j > hi[i]) return A_NEG;
+    return Ub[(size_t)i * Wb + (j - lo[i])];
+  };
+  auto Lget = [&](int32_t i, int32_t j) -> int32_t {
+    if (j == 0) return A_NEG;
+    if (i == 0) return border(j);
+    if (j < lo[i] || j > hi[i]) return A_NEG;
+    return Lb[(size_t)i * Wb + (j - lo[i])];
+  };
+  for (int32_t i = 1; i <= m; ++i) {
+    const char qc = q[i - 1];
+    const int32_t l = lo[i], h = hi[i];
+    int32_t* Hr = Hb + (size_t)i * Wb;
+    int32_t* Ur = Ub + (size_t)i * Wb;
+    int32_t* Lr = Lb + (size_t)i * Wb;
+    int32_t left_h = Hget(i, l - 1);
+    int32_t left_l = Lget(i, l - 1);
+    for (int32_t j = l; j <= h; ++j) {
+      int32_t up_h = Hget(i - 1, j);
+      int32_t up_u = Uget(i - 1, j);
+      int32_t u = std::max(up_h == A_NEG ? A_NEG : up_h + O,
+                           up_u == A_NEG ? A_NEG : up_u + E);
+      int32_t lf = std::max(left_h == A_NEG ? A_NEG : left_h + O,
+                            left_l == A_NEG ? A_NEG : left_l + E);
+      int32_t dg = Hget(i - 1, j - 1);
+      int32_t v = dg == A_NEG ? A_NEG
+                              : dg + ((qc == t[j - 1]) ? M : X);
+      v = std::max(v, std::max(u, lf));
+      Hr[j - l] = v;
+      Ur[j - l] = u;
+      Lr[j - l] = lf;
+      left_h = v;
+      left_l = lf;
+    }
+  }
+  // Traceback with the normative state-machine tie-break.
+  std::string& qs = as.qs;
+  std::string& ts = as.ts;
+  qs.clear();
+  ts.clear();
+  int32_t i = m, j = n;
+  int state = 0;  // 0=H, 1=U (gap in t), 2=L (gap in q)
+  while (i > 0 || j > 0) {
+    if (state == 0) {
+      int32_t hv = Hget(i, j);
+      if (i > 0 && j > 0 &&
+          hv == Hget(i - 1, j - 1) + (q[i - 1] == t[j - 1] ? M : X)) {
+        qs.push_back(q[i - 1]);
+        ts.push_back(t[j - 1]);
+        --i;
+        --j;
+      } else if (i > 0 && hv == Uget(i, j)) {
+        state = 1;
+      } else {
+        state = 2;
+      }
+    } else if (state == 1) {
+      int32_t uv = Uget(i, j);
+      qs.push_back(q[i - 1]);
+      ts.push_back('-');
+      if (Hget(i - 1, j) != A_NEG && uv == Hget(i - 1, j) + O) state = 0;
+      --i;
+    } else {
+      int32_t lv = Lget(i, j);
+      qs.push_back('-');
+      ts.push_back(t[j - 1]);
+      if (Hget(i, j - 1) != A_NEG && lv == Hget(i, j - 1) + O) state = 0;
+      --j;
+    }
+  }
+  out_q.assign(qs.rbegin(), qs.rend());
+  out_t.assign(ts.rbegin(), ts.rend());
+}
+
 // ------------------------------------------------------------------ graph
 
 struct Edge {
@@ -930,6 +1072,8 @@ static std::string backbone_of(const Group& g) {
 struct Engine {
   int32_t min_weight = 8, min_length = 500, trim = 0, threads = 4;
   int32_t align = 0;  // re-align raw seq pairs (reference `dagcon -a`)
+  int32_t scorer = 0;  // 0 = simple (SPEC §1.5), 1 = affine (SPEC §1.6)
+  AffineParams aff;
   long targets_done = 0;
   std::string pending_line;           // partial trailing line
   Group pending_group;                // trailing (possibly incomplete) group
@@ -993,6 +1137,7 @@ struct Engine {
     Graph g;
     NormScratch ns;
     AlignScratch as;
+    AffineScratch afs;
     Alignment a;
     std::string aq, at;
     std::vector<float> score;
@@ -1009,7 +1154,10 @@ struct Engine {
       Alignment& a = wk.a;
       a = src;
       if (align) {
-        align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
+        if (scorer == 1)
+          align_pair_affine(a.qstr, a.tstr, wk.aq, wk.at, wk.afs, aff);
+        else
+          align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
         a.qstr.swap(wk.aq);
         a.tstr.swap(wk.at);
         a.recompute_end();
@@ -1130,7 +1278,10 @@ struct Engine {
       Alignment& a = wk.a;
       a = src;
       if (align) {
-        align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
+        if (scorer == 1)
+          align_pair_affine(a.qstr, a.tstr, wk.aq, wk.at, wk.afs, aff);
+        else
+          align_pair(a.qstr, a.tstr, wk.aq, wk.at, wk.as);
         a.qstr.swap(wk.aq);
         a.tstr.swap(wk.at);
         a.recompute_end();
@@ -1435,6 +1586,40 @@ int dagcon_align_pair(const char* q, long ql, const char* t, long tl,
   std::string qs, ts;
   dagcon::align_pair(std::string(q, (size_t)ql), std::string(t, (size_t)tl),
                      qs, ts, as);
+  std::string res = qs + "\n" + ts;
+  char* buf = (char*)malloc(res.size() + 1);
+  memcpy(buf, res.data(), res.size());
+  buf[res.size()] = 0;
+  *out = buf;
+  *out_len = (long)res.size();
+  return 0;
+}
+
+// Select the -a scorer: 0 = simple linear-gap DP (SPEC §1.5, default),
+// 1 = affine Gotoh (SPEC §1.6) with (match, mismatch, open, extend).
+void dagcon_engine_set_scorer(void* h, int scorer, int match, int mismatch,
+                              int open_, int extend_) {
+  Engine* e = (Engine*)h;
+  e->scorer = scorer;
+  e->aff.match = match;
+  e->aff.mismatch = mismatch;
+  e->aff.open = open_;
+  e->aff.extend = extend_;
+}
+
+// Standalone affine pairwise alignment (SPEC §1.6) for tests/tools.
+int dagcon_align_pair_affine(const char* q, long ql, const char* t, long tl,
+                             int match, int mismatch, int open_, int extend_,
+                             char** out, long* out_len) {
+  dagcon::AffineScratch as;
+  dagcon::AffineParams pp;
+  pp.match = match;
+  pp.mismatch = mismatch;
+  pp.open = open_;
+  pp.extend = extend_;
+  std::string qs, ts;
+  dagcon::align_pair_affine(std::string(q, (size_t)ql),
+                            std::string(t, (size_t)tl), qs, ts, as, pp);
   std::string res = qs + "\n" + ts;
   char* buf = (char*)malloc(res.size() + 1);
   memcpy(buf, res.data(), res.size());

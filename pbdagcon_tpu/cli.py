@@ -76,6 +76,20 @@ def build_parser() -> argparse.ArgumentParser:
         "or the batched TPU kernel (device); both are exact",
     )
     p.add_argument(
+        "--align-scorer",
+        choices=("simple", "affine"),
+        default="simple",
+        help="-a scoring scheme: linear-gap 1/-2/-3 (simple, default) "
+        "or affine Gotoh (SPEC §1.6); see docs/SCORER_SENSITIVITY.md",
+    )
+    p.add_argument(
+        "--affine-params",
+        default="1,-2,-4,-1",
+        metavar="M,X,O,E",
+        help="affine scorer parameters match,mismatch,open,extend "
+        "(gap of length k scores open+(k-1)*extend)",
+    )
+    p.add_argument(
         "--batch-targets", type=int, default=128,
         help="max targets per device batch",
     )
@@ -142,6 +156,10 @@ def main(argv: list[str] | None = None) -> int:
         trim=args.trim,
         align=args.align,
         align_backend=args.align_backend,
+        align_scorer=args.align_scorer,
+        affine_params=tuple(
+            int(x) for x in args.affine_params.split(",")
+        ),
         fmt=args.fmt,
         backend=args.backend,
         batch_targets=args.batch_targets,

@@ -30,6 +30,16 @@ class DagconConfig:
     # wins on this tunnel (device traceback gathers dominate); both are
     # exact.
     align_backend: str = "host"
+    # -a scorer: "simple" (SPEC §1.5 linear-gap 1/-2/-3, the default the
+    # whole differential stack is pinned to) or "affine" (SPEC §1.6
+    # Gotoh). The reference wraps blasr_libcpp's guided affine aligner
+    # whose parameters are unreadable (mount empty); the affine option +
+    # docs/SCORER_SENSITIVITY.md quantify how much the consensus depends
+    # on that choice.
+    align_scorer: str = "simple"
+    # (match, mismatch, open, extend) for align_scorer="affine"; a gap
+    # of length k scores open + (k-1)*extend.
+    affine_params: tuple[int, int, int, int] = (1, -2, -4, -1)
 
     # --- TPU execution knobs ---
     # Bucket ladders for padded shapes (nodes V, successor window W).
@@ -83,6 +93,21 @@ class DagconConfig:
             raise ValueError(f"fmt must be 'm5' or 'pre', got {self.fmt!r}")
         if self.align_backend not in ("host", "device"):
             raise ValueError(f"unknown align_backend {self.align_backend!r}")
+        if self.align_scorer not in ("simple", "affine"):
+            raise ValueError(f"unknown align_scorer {self.align_scorer!r}")
+        if self.align_scorer == "affine":
+            m, x, o, e = self.affine_params
+            if not (m >= 0 and x <= 0 and o <= e <= 0):
+                raise ValueError(
+                    "affine_params must satisfy match>=0, mismatch<=0, "
+                    f"open<=extend<=0; got {self.affine_params}"
+                )
+            if self.align_backend == "device":
+                raise ValueError(
+                    "align_backend='device' implements the simple scorer "
+                    "only; use align_backend='host' with align_scorer="
+                    "'affine'"
+                )
         if self.backend not in (
             "auto", "xla", "blocked", "pallas", "host", "devbuild"
         ):

@@ -167,7 +167,10 @@ def encode_groups(
         if cfg.align:
             from pbdagcon_tpu.aligner import align_record
 
-            alns = [align_record(a) for a in alns]
+            alns = [
+                align_record(a, cfg.align_scorer, cfg.affine_params)
+                for a in alns
+            ]
         else:
             alns = [a for a in alns if len(a.qstr) == len(a.tstr)]
         try:
@@ -366,6 +369,7 @@ def run_devbuild_native(
     eng = native.NativeEngine(
         min_weight=cfg.min_weight, min_length=cfg.min_length,
         trim=cfg.trim, threads=cfg.threads, align=cfg.align,
+        scorer=cfg.align_scorer, affine_params=cfg.affine_params,
     )
     dcfg = DevCapsConfig()
 

@@ -145,6 +145,17 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         c_char_pp, c_long_p,
     ]
+    lib.dagcon_engine_set_scorer.restype = None
+    lib.dagcon_engine_set_scorer.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.dagcon_align_pair_affine.restype = ctypes.c_int
+    lib.dagcon_align_pair_affine.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_char_pp, c_long_p,
+    ]
     _lib = lib
     return _lib
 
@@ -173,6 +184,29 @@ def align_pair_native(q: str, t: str) -> tuple[str, str]:
     return qs, ts
 
 
+def align_pair_affine_native(
+    q: str, t: str, params: tuple[int, int, int, int] = (1, -2, -4, -1)
+) -> tuple[str, str]:
+    """Native affine-gap alignment (SPEC §1.6); exact match with
+    `pbdagcon_tpu.aligner.align_pair_affine`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.c_char_p()
+    out_len = ctypes.c_long()
+    qb, tb = q.encode(), t.encode()
+    lib.dagcon_align_pair_affine(
+        qb, len(qb), tb, len(tb), *(int(x) for x in params),
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    try:
+        res = ctypes.string_at(out, out_len.value).decode()
+    finally:
+        lib.dagcon_free(out)
+    qs, ts = res.split("\n", 1)
+    return qs, ts
+
+
 class NativeEngine:
     """One streaming engine instance (wraps `DagconEngine`)."""
 
@@ -183,6 +217,8 @@ class NativeEngine:
         trim: int = 0,
         threads: int = 4,
         align: bool = False,
+        scorer: str = "simple",
+        affine_params: tuple[int, int, int, int] = (1, -2, -4, -1),
     ):
         lib = _load()
         if lib is None:
@@ -191,6 +227,10 @@ class NativeEngine:
         self._h = lib.dagcon_engine_new(min_weight, min_length, trim, threads)
         if align:
             lib.dagcon_engine_set_align(self._h, 1)
+        if scorer == "affine":
+            lib.dagcon_engine_set_scorer(
+                self._h, 1, *(int(x) for x in affine_params)
+            )
         self.min_weight = min_weight
         self.min_length = min_length
 

@@ -101,7 +101,10 @@ def linearize_group(
     if cfg.align:
         from pbdagcon_tpu.aligner import align_record
 
-        alns = [align_record(a) for a in alns]
+        alns = [
+            align_record(a, cfg.align_scorer, cfg.affine_params)
+            for a in alns
+        ]
     else:
         # Raw (ungapped) pairs without -a cannot be threaded; skip and
         # count them, matching the native engine's policy.
@@ -282,6 +285,8 @@ def _native_engine(cfg: DagconConfig):
         trim=cfg.trim,
         threads=cfg.threads,
         align=cfg.align,
+        scorer=cfg.align_scorer,
+        affine_params=cfg.affine_params,
     )
 
 

@@ -37,7 +37,7 @@ def run_selfcheck(
             if cfg.align:
                 from pbdagcon_tpu.aligner import align_record
 
-                a = align_record(a)
+                a = align_record(a, cfg.align_scorer, cfg.affine_params)
             if cfg.trim:
                 a = trim_aln(a, cfg.trim)
             a = normalize_gaps(a)
