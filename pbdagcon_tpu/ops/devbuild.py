@@ -66,7 +66,12 @@ OP_DEL = 2
 OP_INS = 3
 
 # Build flags: nonzero -> host fallback required for exactness.
-FLAG_CASCADE = 1  # second-order backbone-absorption cascade
+FLAG_CASCADE = 1  # absorption cascade deeper than MAX_ABSORB_ROUNDS
+
+# Absorption cascades are handled exactly up to this many rounds; the
+# cap exists because the device build packs the strip phase into 2 bits
+# of its int32 sort keys (phases 0..3). Deeper cascades flag the target.
+MAX_ABSORB_ROUNDS = 3
 FLAG_SENTINEL_BASE = 4  # inserted base collides with ^/$ sentinels
 FLAG_TIE = 8  # ambiguous-key tie on the chosen path (backtrack)
 FLAG_OVERFLOW = 16  # capacity overflow in the fixed-shape device build
@@ -295,61 +300,66 @@ def build_linear(
     def outdeg1(p: int) -> bool:
         return 1 <= p <= L and p not in multi_out
 
-    # ---- backbone absorption pass (exact, order-free) -----------------
+    # ---- backbone absorption passes (exact, order-free) ---------------
     # Chain records (phase, seq) preserve reference creation order:
     # original chains in read order (phase 0), absorption strips after
-    # them (phase 1) — redirected in-edges append at list tails.
+    # them per cascade round (phase k = stripped in round k). Exactness
+    # of the phase ordering: a round-k strip into trie(pm) is a redirect
+    # event at Kahn time pm + k (the cascade recursion runs entirely
+    # inside merge_in_nodes of the top column), so for a fixed trie the
+    # rounds arrive in increasing k, and within one round all strips
+    # come from the single absorbed depth-1 node whose in-list order is
+    # read/seq order. Rounds beyond MAX_ABSORB_ROUNDS flag the target
+    # (the device build packs the phase into 2 bits of its int32 keys).
     # rec = (phase, seq, p, t, bases, anchors, read)
     recs: list[tuple] = [
         (0, i, ch.p, ch.t, ch.bases, ch.anchors, ch.r)
         for i, ch in enumerate(chains)
     ]
-    by_t: dict[int, list[int]] = {}
-    for i, r in enumerate(recs):
-        by_t.setdefault(r[3], []).append(i)
-
     weight_bonus = np.zeros(L + 2, dtype=np.int64)
-    dead: set[int] = set()
-    strips: list[tuple] = []
-    for t, idxs in by_t.items():
-        pm = t - 1
-        if not outdeg1(pm):
-            continue
-        b = int(enc.backbone[pm - 1])
-        group = [ri for ri in idxs if recs[ri][4][-1] == b]
-        if not group:
-            continue
-        # Depth-1 node (t, b) merges INTO backbone pm (the ctor edge
-        # pm->t precedes every read edge, so pm is always survivor).
-        weight_bonus[pm] += len(group)
-        bump(tcount, (pm, t), len(group), KEY_CTOR)
-        for ri in group:
-            dead.add(ri)
-            _ph, seq, p, _t, bases, anchors, rd = recs[ri]
-            if len(bases) >= 2:
-                strips.append((1, seq, p, pm, bases[:-1], anchors[:-1], rd))
-            else:
-                # Redirected start edge becomes a (p, pm) edge appended
-                # at p's out-list tail (phase 2), unless p->pm existed.
-                # Its exact event rank references the removed branch ->
-                # uncertain.
-                bump(
-                    tcount, (p, pm), 1,
-                    key_int(2, rd=rd, uncertain=True),
-                )
-    final_recs = [r for i, r in enumerate(recs) if i not in dead] + strips
-    final_recs.sort(key=lambda r: (r[3], r[0], r[1]))  # (t, phase, seq)
-
-    # Cascade recheck: a strip re-creating an absorbable depth-1 node
-    # would need the sequential merge order to resolve -> flag.
-    if strips:
-        last_of_t: dict[int, set[int]] = {}
-        for r in final_recs:
-            last_of_t.setdefault(r[3], set()).add(r[4][-1])
-        for t, bases in last_of_t.items():
+    uncertain_tries: set[int] = set()
+    live = recs
+    for round_no in range(1, MAX_ABSORB_ROUNDS + 2):
+        by_t: dict[int, list[int]] = {}
+        for i, r in enumerate(live):
+            by_t.setdefault(r[3], []).append(i)
+        dead: set[int] = set()
+        strips: list[tuple] = []
+        for t, idxs in by_t.items():
             pm = t - 1
-            if outdeg1(pm) and int(enc.backbone[pm - 1]) in bases:
+            if not outdeg1(pm):
+                continue
+            b = int(enc.backbone[pm - 1])
+            group = [ri for ri in idxs if live[ri][4][-1] == b]
+            if not group:
+                continue
+            if round_no > MAX_ABSORB_ROUNDS:
                 return None, FLAG_CASCADE, None
+            # Depth-1 node (t, b) merges INTO backbone pm (the ctor edge
+            # pm->t precedes every read edge, so pm is always survivor).
+            weight_bonus[pm] += len(group)
+            bump(tcount, (pm, t), len(group), KEY_CTOR)
+            for ri in group:
+                dead.add(ri)
+                _ph, seq, p, _t, bases, anchors, rd = live[ri]
+                if len(bases) >= 2:
+                    strips.append(
+                        (round_no, seq, p, pm, bases[:-1], anchors[:-1], rd)
+                    )
+                else:
+                    # Redirected start edge becomes a (p, pm) edge
+                    # appended at p's out-list tail (phase 2), unless
+                    # p->pm existed. Its exact event rank references the
+                    # removed branch -> uncertain.
+                    bump(
+                        tcount, (p, pm), 1,
+                        key_int(2, rd=rd, uncertain=True),
+                    )
+        if not dead:
+            break
+        uncertain_tries.update(r[3] for r in strips)
+        live = [r for i, r in enumerate(live) if i not in dead] + strips
+    final_recs = sorted(live, key=lambda r: (r[3], r[0], r[1]))
 
     # ---- trie construction per termination t --------------------------
     # node: {"w": #chains through, "anchor": first-chain anchor (the
@@ -357,7 +367,6 @@ def build_linear(
     #        "starts": {p: [count, min read, any-strip]},
     #        "first_*": survivor-chain info for start-edge key phases}
     tries: dict[int, dict] = {}
-    uncertain_tries: set[int] = {r[3] for r in strips}
 
     def new_node() -> dict:
         return {
@@ -384,11 +393,11 @@ def build_linear(
                 node["first_rd"] = rd
         se = node["starts"].get(p)
         if se is None:
-            node["starts"][p] = [1, rd, ph == 1]
+            node["starts"][p] = [1, rd, ph >= 1]
         else:
             se[0] += 1
             se[1] = min(se[1], rd)
-            se[2] = se[2] or ph == 1
+            se[2] = se[2] or ph >= 1
 
     # ---- linear node numbering ---------------------------------------
     # Postorder per trie; then backbone t.

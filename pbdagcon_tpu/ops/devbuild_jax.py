@@ -447,13 +447,23 @@ def _presence_hist(values, valid, upper, caps_n):
 
 
 def apply_absorption(chains, trans, bb, Lr, caps: Caps):
-    """Single-pass backbone absorption on the flat chain table.
+    """Multi-round backbone absorption on the flat chain table,
+    loop-free.
 
-    Flattens the [B, R, CH] chain table to [B, N] (N = R*CH), detects
-    absorbable chains (out-degree-1 backbone pm = t-1 with base equal to
-    the chain's last base), strips them (t -= 1, drop last base; empty
-    -> becomes a (p, pm) transition with an uncertain phase-2 key), and
-    rechecks for cascades.
+    Flattens the [B, R, CH] chain table to [B, N] (N = R*CH). Because
+    out-degree-1 membership is static and absorption fires for any
+    nonempty group, the number of cascade rounds a chain undergoes is
+    chain-local: k = length of the leading-true prefix of
+    ok_j = outdeg1[t-j] & (rev_base[j-1] == backbone[t-j-1]) & (j <= len)
+    over j = 1..MAX_ABSORB_ROUNDS. The chain is then stripped k times in
+    one shot (t -= k, drop k leading reversed bases, phase = k); a chain
+    emptied at round k becomes a (p, t-k) transition with an uncertain
+    phase-2 key. Chains whose prefix extends one round further flag the
+    target (phase packs into 2 bits of the int32 sort keys downstream).
+
+    Per-round side effects become interval histograms: the absorbed-
+    count bonus is +1 on backbone [t-k, t-1], strip landings mark tries
+    [t-k (+1 if died), t-1].
 
     Returns flat chain arrays + per-target extras.
     """
@@ -487,43 +497,64 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         (pidx >= 1) & (pidx <= Lr[:, None]) & ~multi
     )  # [B, L+2]
 
-    # absorbable chain: outdeg1[t-1] and last base == backbone[t-1].
-    pm = tf - 1
-    pmc = jnp.clip(pm, 0, caps.L + 1)
-    od1_at_pm = jnp.take_along_axis(outdeg1, pmc, axis=-1)
-    bb_at_pm = jnp.take_along_axis(
-        bb.astype(I32), jnp.clip(pm - 1, 0, caps.L - 1), axis=-1
-    )
-    absorbed = (
-        valid & od1_at_pm & (pm >= 1) & (rb[..., 0] == bb_at_pm)
-    )
+    # Rounds of absorption per chain (closed form, no loop): ok_j holds
+    # iff round j would absorb the chain — the chain still exists
+    # (j <= len), the round-j backbone node t-j is out-degree-1, and the
+    # round-j last base rev_base[j-1] equals backbone[t-j-1]. kx = the
+    # leading-true prefix length over j = 1..ABR; a prefix reaching
+    # ABR+1 flags the target (phase must fit 2 bits downstream).
+    from pbdagcon_tpu.ops.devbuild import MAX_ABSORB_ROUNDS as ABR
 
-    # per-pm bonus = number of absorbed chains ending at t = pm+1.
-    # Folded into one sort with the strip_t histogram (computed below
-    # from the same absorbed mask) via region-offset keys.
+    J = ABR + 1  # probe one extra round for the flag
+    assert SM >= J, "SM ladder must cover the absorption probe depth"
+    jj = jnp.arange(1, J + 1, dtype=I32)  # [J]
+    tj = tf[..., None] - jj[None, None, :]  # [B, N, J] pm at round j
+    tjc = jnp.clip(tj, 0, caps.L + 1)
+    od1_j = jnp.take_along_axis(
+        outdeg1, tjc.reshape(B, N * J), axis=-1
+    ).reshape(B, N, J)
+    bb_j = jnp.take_along_axis(
+        bb.astype(I32),
+        jnp.clip(tj - 1, 0, caps.L - 1).reshape(B, N * J),
+        axis=-1,
+    ).reshape(B, N, J)
+    ok = (
+        valid[..., None]
+        & (jj[None, None, :] <= lenf[..., None])
+        & (tj >= 1)
+        & od1_j
+        & (rb[..., :J].astype(I32) == bb_j)
+    )
+    pref = jnp.cumsum(jnp.where(ok, 0, 1), axis=-1) == 0  # prefix-AND
+    kx = jnp.sum(pref[..., :ABR].astype(I32), axis=-1)  # [B, N] 0..ABR
+    cascade = jnp.any(pref[..., J - 1], axis=-1)  # round ABR+1 fires
+
     HL = caps.L + 2
 
-    # strip: drop depth-1 base (shift rev arrays left), t -= 1.
+    # strip kx times in one shot: shift rev arrays left by kx, t -= kx.
+    sm_idx = jnp.arange(SM, dtype=I32)[None, None, :] + kx[..., None]
+    inb = sm_idx < SM
     rb2 = jnp.where(
-        absorbed[..., None],
-        jnp.concatenate([rb[..., 1:], jnp.zeros_like(rb[..., :1])], -1),
-        rb,
-    )
+        inb,
+        jnp.take_along_axis(rb, jnp.clip(sm_idx, 0, SM - 1), axis=-1),
+        0,
+    ).astype(rb.dtype)
     ra2 = jnp.where(
-        absorbed[..., None],
-        jnp.concatenate([ra[..., 1:], jnp.zeros_like(ra[..., :1])], -1),
-        ra,
-    )
-    len2 = jnp.where(absorbed, lenf - 1, lenf)
-    t2 = jnp.where(absorbed, pm, tf)
-    died = absorbed & (len2 == 0)
+        inb,
+        jnp.take_along_axis(ra, jnp.clip(sm_idx, 0, SM - 1), axis=-1),
+        0,
+    ).astype(ra.dtype)
+    len2 = lenf - kx
+    t2 = tf - kx
+    died = valid & (kx > 0) & (len2 == 0)
     valid2 = valid & ~died
-    phase = absorbed.astype(I32)  # strips sort after originals per t
+    phase = kx  # strips sort after originals per t, by round
 
-    # died chains become (p, pm) transitions with uncertain keys:
+    # died chains become (p, t-kx) transitions with uncertain keys:
     # aggregate counts per (p, dq) and per-(p,dq) min read / orig t.
     DQ = caps.DQ
-    dd = pmc - pf
+    pmN = jnp.clip(t2, 0, caps.L + 1)  # death column (= final t)
+    dd = pmN - pf
     BIG = jnp.int32(1 << 24)
     # died counts per (p, dq) come from the single (p, dq)-keyed sort
     # below: run length = searchsorted(right) - searchsorted(left).
@@ -531,7 +562,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     # (p, pm) with uncertain keys: dedupe + count via one sort.
     K = caps.K
     dl_m = died & (dd > DQ)
-    dl_key = jnp.where(dl_m, pf * (caps.L + 2) + pmc, jnp.int32(1 << 28))
+    dl_key = jnp.where(dl_m, pf * (caps.L + 2) + pmN, jnp.int32(1 << 28))
     dl_rd = jnp.where(dl_m, read, jnp.int32(1 << 20))
     sdk, sdr = jax.lax.sort((dl_key, dl_rd), dimension=-1, num_keys=2)
     dl_uniq = (sdk < (1 << 28)) & jnp.concatenate(
@@ -590,40 +621,35 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         B, caps.L + 2, DQ
     )
 
-    # cascade recheck: after stripping, an absorbable depth-1 base again?
-    pm2 = t2 - 1
-    pm2c = jnp.clip(pm2, 0, caps.L + 1)
-    od1_2 = jnp.take_along_axis(outdeg1, pm2c, axis=-1)
-    bb2 = jnp.take_along_axis(
-        bb.astype(I32), jnp.clip(pm2 - 1, 0, caps.L - 1), axis=-1
+    # bonus (+1 per absorbed chain on backbone [t-kx, t-1]) and strip_t
+    # (trie landings on [t-kx (+1 if died), t-1]) as interval difference
+    # arrays: histogram the four endpoint streams in ONE sort via
+    # region-offset keys, then prefix-sum the diffs.
+    abs_any = valid & (kx > 0)
+    INVAL = jnp.int32(4 * HL + 1)
+    b_start = jnp.where(abs_any, jnp.clip(t2, 0, HL - 1), INVAL)
+    b_end = jnp.where(abs_any, jnp.clip(tf, 0, HL - 1) + HL, INVAL)
+    # (an empty landing interval — died at round 1 — contributes +1 and
+    # -1 at the same index, which cancels in the cumsum; no special
+    # casing needed)
+    s_start = jnp.where(
+        abs_any,
+        jnp.clip(t2 + died.astype(I32), 0, HL - 1) + 2 * HL,
+        INVAL,
     )
-    # Only strips can re-create a hazard: outdeg1 is static, and an
-    # original chain whose last base matched bb[t-1] under outdeg1 was
-    # already absorbed above.
-    cascade = jnp.any(
-        valid2 & od1_2 & (pm2 >= 1) & (rb2[..., 0] == bb2) & absorbed,
-        axis=-1,
-    )
-
-    # bonus (absorbed per pm) + strip_t (tries that received strips,
-    # len >= 1) in ONE sort via region-offset keys.
-    hv = jnp.concatenate(
-        [
-            jnp.where(absorbed, pmc, jnp.int32(2 * HL + 1)),
-            jnp.where(
-                absorbed & ~died,
-                jnp.clip(t2, 0, HL - 1) + HL,
-                jnp.int32(2 * HL + 1),
-            ),
-        ],
-        axis=-1,
-    )
+    s_end = jnp.where(abs_any, jnp.clip(tf, 0, HL - 1) + 3 * HL, INVAL)
+    hv = jnp.concatenate([b_start, b_end, s_start, s_end], axis=-1)
     sv_h = jnp.sort(hv, axis=-1)
-    qb_h = jnp.broadcast_to(jnp.arange(2 * HL, dtype=I32), (B, 2 * HL))
+    qb_h = jnp.broadcast_to(jnp.arange(4 * HL, dtype=I32), (B, 4 * HL))
     lo_h, hi_h = _row_ss_lr(sv_h, qb_h)
     cnts_h = hi_h - lo_h
-    bonus = cnts_h[:, :HL]
-    strip_t = cnts_h[:, HL:] > 0
+    bonus = jnp.cumsum(cnts_h[:, :HL] - cnts_h[:, HL : 2 * HL], axis=-1)
+    strip_t = (
+        jnp.cumsum(
+            cnts_h[:, 2 * HL : 3 * HL] - cnts_h[:, 3 * HL :], axis=-1
+        )
+        > 0
+    )
 
     return {
         "valid": valid2,
