@@ -105,13 +105,14 @@ def caps_for(
     """
     from pbdagcon_tpu.ops.devbuild_jax import Caps
 
-    # chains per read ~ insertion runs (~C/13 at PacBio-like noise); the
-    # flat chain table R*CH must fit the 14-bit packed chain index.
+    # The flat chain table R*CH must fit the 14-bit packed chain index
+    # (hard limit); C//8 is only the sizing heuristic when no measured
+    # need is available (~C/13 chains/read at PacBio-like noise).
     # Overflow (more chains than CH) flags the target to the host path.
-    ch_max = max(32, min(C // 8, 512, ((1 << 14) // R)))
-    CH = ch_max
+    ch_hard = max(32, min(512, (1 << 14) // R))
+    CH = max(32, min(C // 8, ch_hard))
     if ch_need is not None:
-        CH = min(ch_max, _ladder(max(1, ch_need), _CH_LADDER) or ch_max)
+        CH = min(ch_hard, _ladder(max(1, ch_need), _CH_LADDER) or ch_hard)
     SM = cfg.SM
     if sm_need is not None:
         SM = _ladder(max(1, sm_need), _SM_LADDER) or _SM_LADDER[-1]
