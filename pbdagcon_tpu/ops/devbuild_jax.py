@@ -106,55 +106,63 @@ def decode_columns(ops, starts, caps: Caps):
 
 
 def coverage_and_matches(ops, starts, dec, caps: Caps):
-    """cov[b, p] / matches[b, p] for p in 1..L (index 0 unused)."""
-    L = caps.L
-    p = jnp.arange(L + 2, dtype=I32)  # 0..L+1
+    """cov[b, p] / matches[b, p] for p in 1..L (index 0 unused).
+
+    cov: interval histogram over read [start, end] spans (one [B, 2R]
+    sort). matches: histogram of match-column target positions (one
+    flat [B, R*C] sort). Replaces the old per-row argsort compaction +
+    [B, R, C] grid gathers, which dominated the decode stage."""
+    B, R, C, L = caps.B, caps.R, caps.C, caps.L
+    HL = L + 2
     live = starts > 0
-    # coverage: reads consuming p: start <= p <= end
-    covered = (
-        (p[None, None, :] >= starts[..., None])
-        & (p[None, None, :] <= dec["ends"][..., None])
-        & live[..., None]
+    # coverage: +1 at start, -1 at end+1, prefix-summed over p.
+    INVAL = jnp.int32(2 * HL + 1)
+    ends1 = jnp.clip(dec["ends"] + 1, 0, HL - 1) + HL
+    iv = jnp.concatenate(
+        [jnp.where(live, starts, INVAL), jnp.where(live, ends1, INVAL)],
+        axis=-1,
     )
-    cov = jnp.sum(covered, axis=1, dtype=I32)  # [B, L+2]
-    # matches: column with tpos == p and op == M exists. tpos is
-    # nondecreasing; consumed positions are start..end consecutively, so
-    # the consuming column for p is the (p - start)-th consuming column.
-    # Compact consuming columns per read by stable argsort.
-    C = caps.C
-    ckey = jnp.where(dec["consume"], 0, 1) * C + jnp.arange(C, dtype=I32)
-    cidx = jnp.argsort(ckey, axis=-1)  # consuming columns first, in order
-    cons_ops = jnp.take_along_axis(ops, cidx, axis=-1)  # [B, R, C]
-    # matched_rel[b, r, j] = j-th consumed position was a match
-    matched_rel = cons_ops == OP_MATCH
-    # matches[b, p] = sum_r matched_rel[b, r, p - start_r]
-    j = p[None, None, :] - starts[..., None]  # [B, R, L+2]
-    valid = (j >= 0) & (j < C) & covered
-    jc = jnp.clip(j, 0, C - 1)
-    contrib = jnp.take_along_axis(
-        matched_rel, jc, axis=-1
-    ) & valid
-    matches = jnp.sum(contrib, axis=1, dtype=I32)
-    return cov, matches, cidx, cons_ops
+    siv = jnp.sort(iv, axis=-1)
+    qiv = jnp.broadcast_to(jnp.arange(2 * HL, dtype=I32), (B, 2 * HL))
+    lo_i, hi_i = _row_ss_lr(siv, qiv)
+    c_iv = hi_i - lo_i
+    cov = jnp.cumsum(c_iv[:, :HL] - c_iv[:, HL:], axis=-1)
+
+    # matches[b, p] = # match columns consuming p (padding rows have no
+    # OP_MATCH, so no live mask is needed).
+    is_m = ops == OP_MATCH
+    mk = jnp.where(is_m, dec["tpos"], jnp.int32(HL + 1)).reshape(B, R * C)
+    smk = jnp.sort(mk, axis=-1)
+    qp = jnp.broadcast_to(jnp.arange(HL, dtype=I32), (B, HL))
+    lo_m, hi_m = _row_ss_lr(smk, qp)
+    matches = hi_m - lo_m
+    return cov, matches
 
 
-def matched_positions(dec, starts, cidx, cons_ops, Lr, caps: Caps):
+def matched_positions(ops, dec, starts, Lr, caps: Caps):
     """mpos[b, r, j] = target position of the j-th match of read r
-    (1-based positions; exit = Lr+1 padding beyond the last match)."""
-    cons_tpos = jnp.take_along_axis(dec["tpos"], cidx, axis=-1)
-    C = caps.C
-    # compact matches among consumed columns: stable argsort again.
-    mkey = jnp.where(cons_ops == OP_MATCH, 0, 1) * C + jnp.arange(
-        C, dtype=I32
-    )
-    midx = jnp.argsort(mkey, axis=-1)
-    mpos = jnp.take_along_axis(cons_tpos, midx, axis=-1)
-    nmat = dec["n_matches"]
+    (1-based positions; exit = Lr+1 padding beyond the last match).
+
+    One flat 2-operand sort: the keys form a per-read permutation of
+    column slots (matches take slots 0..nmat-1 in column order, the
+    other columns fill the rest), so the sorted values land exactly at
+    slot r*C + j — no argsort, no grid gathers."""
+    B, R, C = caps.B, caps.R, caps.C
+    is_m = ops == OP_MATCH
+    nm = dec["nm"]  # inclusive per-column match count
+    nmat = dec["n_matches"][..., None]
+    cgrid = jnp.arange(C, dtype=I32)[None, None, :]
+    slot = jnp.where(is_m, nm - 1, nmat + (cgrid - nm))
+    rr = jnp.arange(R, dtype=I32)[None, :, None]
+    key = (rr * C + slot).reshape(B, R * C)
+    val = jnp.where(is_m, dec["tpos"], 0).reshape(B, R * C)
+    _sk, sv = jax.lax.sort((key, val), dimension=-1, num_keys=1)
     j = jnp.arange(C, dtype=I32)
-    mpos = jnp.where(
-        j[None, None, :] < nmat[..., None], mpos, Lr[:, None, None] + 1
+    return jnp.where(
+        j[None, None, :] < dec["n_matches"][..., None],
+        sv.reshape(B, R, C),
+        Lr[:, None, None] + 1,
     )
-    return mpos
 
 
 def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
@@ -263,23 +271,27 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
 
     # packed reversed strings + per-depth anchors: depth d (1..SM) is
     # the d-th base from the END of the chain. Gathers stay in k-space.
+    # Layout: DEPTH-MAJOR [B, SM, R, CH] with (R, CH) on the (sublane,
+    # lane) tile — SM-minor layouts pad SM (8..20) up to 128 lanes, a
+    # 6-16x physical blowup every consumer pays (measured: the strip
+    # gathers alone cost ~0.5 s/batch in the old layout).
     d = jnp.arange(SM, dtype=I32)
     src = (
-        chain_first[..., None]
-        + chain_len[..., None]
+        chain_first[:, None, :, :]
+        + chain_len[:, None, :, :]
         - 1
-        - d[None, None, None, :]
-    )
-    src_ok = (d[None, None, None, :] < chain_len[..., None]) & chain_valid[
-        ..., None
-    ]
-    srcc = jnp.clip(src, 0, NI - 1).reshape(B, R * CH * SM)
+        - d[None, :, None, None]
+    )  # [B, SM, R, CH]
+    src_ok = (
+        d[None, :, None, None] < chain_len[:, None, :, :]
+    ) & chain_valid[:, None, :, :]
+    srcc = jnp.clip(src, 0, NI - 1).reshape(B, SM * R * CH)
     # base (8b) and anchor (< 2^24) pack into one i32 -> ONE big gather
-    # instead of two (the [B, R*CH*SM] output is the cost).
+    # instead of two, and the packed form stays canonical downstream
+    # (absorption strips it wholesale; consumers unpack with &/>>).
     ba_k = (anchor_k << 8) | base_k.astype(I32)
-    ba = jnp.take_along_axis(ba_k, srcc, axis=-1).reshape(B, R, CH, SM)
-    rev_base = jnp.where(src_ok, ba & 0xFF, 0).astype(base_k.dtype)
-    rev_anchor = jnp.where(src_ok, ba >> 8, 0)
+    ba = jnp.take_along_axis(ba_k, srcc, axis=-1).reshape(B, SM, R, CH)
+    rev_ba = jnp.where(src_ok, ba, 0)
     overflow = chain_len > SM
 
     return {
@@ -293,8 +305,9 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
         "seg": chain_seg,
         "len": jnp.minimum(chain_len, SM),
         "true_len": chain_len,
-        "rev_base": rev_base,  # [B, R, CH, SM] depth-major (d=0 -> last)
-        "rev_anchor": rev_anchor,
+        # [B, SM, R, CH] packed (anchor << 8 | base), depth-major
+        # (d=0 -> last base of the chain).
+        "rev_ba": rev_ba,
         "n_chains": n_chains,
     }
 
@@ -446,7 +459,7 @@ def _presence_hist(values, valid, upper, caps_n):
     return hi - lo
 
 
-def apply_absorption(chains, trans, bb, Lr, caps: Caps):
+def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     """Multi-round backbone absorption on the flat chain table,
     loop-free.
 
@@ -477,8 +490,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     pf = flat(chains["p"])
     tf = flat(chains["t"])
     lenf = flat(chains["len"])
-    rb = flat(chains["rev_base"], (SM,))
-    ra = flat(chains["rev_anchor"], (SM,))
+    ba = chains["rev_ba"].reshape(B, SM, N)  # packed, depth-major
     read = jnp.broadcast_to(
         jnp.arange(R, dtype=I32)[None, :, None], (B, R, CH)
     ).reshape(B, N)
@@ -496,6 +508,8 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     outdeg1 = (
         (pidx >= 1) & (pidx <= Lr[:, None]) & ~multi
     )  # [B, L+2]
+    if _upto == 1:
+        return {"outdeg1": outdeg1}
 
     # Rounds of absorption per chain (closed form, no loop): ok_j holds
     # iff round j would absorb the chain — the chain still exists
@@ -508,47 +522,48 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     J = ABR + 1  # probe one extra round for the flag
     assert SM >= J, "SM ladder must cover the absorption probe depth"
     jj = jnp.arange(1, J + 1, dtype=I32)  # [J]
-    tj = tf[..., None] - jj[None, None, :]  # [B, N, J] pm at round j
+    tj = tf[:, None, :] - jj[None, :, None]  # [B, J, N] pm at round j
     tjc = jnp.clip(tj, 0, caps.L + 1)
-    od1_j = jnp.take_along_axis(
-        outdeg1, tjc.reshape(B, N * J), axis=-1
-    ).reshape(B, N, J)
-    bb_j = jnp.take_along_axis(
-        bb.astype(I32),
-        jnp.clip(tj - 1, 0, caps.L - 1).reshape(B, N * J),
-        axis=-1,
-    ).reshape(B, N, J)
+    # outdeg1 and backbone base at p pack into ONE per-position table
+    # (bit0 = outdeg1, bits 1.. = base char) -> one gather per round
+    # instead of two.
+    bbp = jnp.pad(bb.astype(I32), ((0, 0), (1, 1)))  # [B, L+2]
+    od1bb = jnp.where(outdeg1, (bbp << 1) | 1, 0)
+    tb_j = jnp.take_along_axis(
+        od1bb, tjc.reshape(B, J * N), axis=-1
+    ).reshape(B, J, N)
     ok = (
-        valid[..., None]
-        & (jj[None, None, :] <= lenf[..., None])
+        valid[:, None, :]
+        & (jj[None, :, None] <= lenf[:, None, :])
         & (tj >= 1)
-        & od1_j
-        & (rb[..., :J].astype(I32) == bb_j)
+        & ((tb_j & 1) == 1)
+        & ((tb_j >> 1) == (ba[:, :J, :] & 0xFF))
     )
-    pref = jnp.cumsum(jnp.where(ok, 0, 1), axis=-1) == 0  # prefix-AND
-    kx = jnp.sum(pref[..., :ABR].astype(I32), axis=-1)  # [B, N] 0..ABR
-    cascade = jnp.any(pref[..., J - 1], axis=-1)  # round ABR+1 fires
+    pref = jnp.cumsum(jnp.where(ok, 0, 1), axis=1) == 0  # prefix-AND
+    kx = jnp.sum(pref[:, :ABR, :].astype(I32), axis=1)  # [B, N] 0..ABR
+    cascade = jnp.any(pref[:, J - 1, :], axis=-1)  # round ABR+1 fires
+    if _upto == 2:
+        return {"kx": kx, "cascade": cascade}
 
     HL = caps.L + 2
 
-    # strip kx times in one shot: shift rev arrays left by kx, t -= kx.
-    sm_idx = jnp.arange(SM, dtype=I32)[None, None, :] + kx[..., None]
-    inb = sm_idx < SM
-    rb2 = jnp.where(
-        inb,
-        jnp.take_along_axis(rb, jnp.clip(sm_idx, 0, SM - 1), axis=-1),
-        0,
-    ).astype(rb.dtype)
-    ra2 = jnp.where(
-        inb,
-        jnp.take_along_axis(ra, jnp.clip(sm_idx, 0, SM - 1), axis=-1),
-        0,
-    ).astype(ra.dtype)
+    # strip kx times in one shot: select among the ABR+1 constant
+    # depth-shifts of the packed rev stream (pure elementwise — the old
+    # per-element gather on an SM-minor layout was the single hottest
+    # block of the whole build).
+    ba2 = ba
+    for k2 in range(1, ABR + 1):
+        shifted = jnp.concatenate(
+            [ba[:, k2:, :], jnp.zeros((B, k2, N), ba.dtype)], axis=1
+        )
+        ba2 = jnp.where(kx[:, None, :] == k2, shifted, ba2)
     len2 = lenf - kx
     t2 = tf - kx
     died = valid & (kx > 0) & (len2 == 0)
     valid2 = valid & ~died
     phase = kx  # strips sort after originals per t, by round
+    if _upto == 3:
+        return {"ba2": ba2, "died": died}
 
     # died chains become (p, t-kx) transitions with uncertain keys:
     # aggregate counts per (p, dq) and per-(p,dq) min read / orig t.
@@ -594,6 +609,8 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         ),
     }
     over_dd = jnp.sum(dl_uniq, axis=-1) > K
+    if _upto == 4:
+        return {"died_long": died_long, "over_dd": over_dd}
 
     # min (read, orig t) per (p, dq) for died chains via one sort:
     # key = p * (DQ+2) + dq, payload packed (read << 18 | orig t); the
@@ -620,6 +637,9 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
     died_t = jnp.where(kmatch, fv & ((1 << 18) - 1), 0).reshape(
         B, caps.L + 2, DQ
     )
+    if _upto == 5:
+        return {"died_cnt_pq": died_cnt_pq, "died_read": died_read,
+                "died_t": died_t}
 
     # bonus (+1 per absorbed chain on backbone [t-kx, t-1]) and strip_t
     # (trie landings on [t-kx (+1 if died), t-1]) as interval difference
@@ -650,14 +670,15 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps):
         )
         > 0
     )
+    if _upto == 6:
+        return {"bonus": bonus, "strip_t": strip_t}
 
     return {
         "valid": valid2,
         "p": pf,
         "t": t2,
         "len": len2,
-        "rev_base": rb2,
-        "rev_anchor": ra2,
+        "rev_ba": ba2,  # [B, SM, N] packed, post-strip
         "read": read,
         "seq": seq,
         "phase": phase,
@@ -703,14 +724,15 @@ def build_tries(fc, Lr, caps: Caps):
 
     # pack reversed strings into big-endian u32 lanes (bases < 128;
     # zero-pad sorts before real bases, keeping prefix runs contiguous).
-    rb = fc["rev_base"].astype(jnp.uint32)
+    ba_dm = fc["rev_ba"]  # [B, SM, N] packed depth-major
+    rb = (ba_dm & 0xFF).astype(jnp.uint32)
 
     def lane(i0):
         parts = []
         for j in range(4):
             d = i0 + j
             parts.append(
-                (rb[..., d] if d < SM else jnp.zeros_like(rb[..., 0]))
+                (rb[:, d, :] if d < SM else jnp.zeros_like(rb[:, 0, :]))
                 << (24 - 8 * j)
             )
         return parts[0] | parts[1] | parts[2] | parts[3]
@@ -727,9 +749,10 @@ def build_tries(fc, Lr, caps: Caps):
     def g(a):
         return jnp.take_along_axis(a, sidx, axis=-1)
 
-    def g2(a):  # [B, N, SM]
-        return jnp.take_along_axis(a, sidx[..., None], axis=1)
+    def g2(a):  # [B, SM, N] depth-major
+        return jnp.take_along_axis(a, sidx[:, None, :], axis=2)
 
+    s_ba = g2(ba_dm)  # sorted chains, [B, SM, N]
     s = {
         "t": st,
         "valid": g(fc["valid"]),
@@ -738,8 +761,11 @@ def build_tries(fc, Lr, caps: Caps):
         "read": g(fc["read"]),
         "phase": g(fc["phase"]),
         "seq": g(fc["seq"]),
-        "rev_base": g2(fc["rev_base"]),
-        "rev_anchor": g2(fc["rev_anchor"]),
+        "rev_ba": s_ba,
+        # node-major flats (i * SM + d indexing) for the node-grid
+        # consumers in linearize/assemble; one dense copy each.
+        "rb_nm": (s_ba & 0xFF).transpose(0, 2, 1).reshape(B, N * SM),
+        "ra_nm": (s_ba >> 8).transpose(0, 2, 1).reshape(B, N * SM),
     }
 
     # lcp with previous chain (same t, shared reversed prefix, both
@@ -750,10 +776,11 @@ def build_tries(fc, Lr, caps: Caps):
     same_t = (s["t"] == prev(s["t"])) & prev(s["valid"]) & s["valid"]
     eq = same_t
     lcp = jnp.zeros((B, N), dtype=I32)
+    s_rb = s_ba & 0xFF  # [B, SM, N]
     for d in range(1, SM + 1):
         eq = (
             eq
-            & (s["rev_base"][..., d - 1] == prev(s["rev_base"][..., d - 1]))
+            & (s_rb[:, d - 1, :] == prev(s_rb[:, d - 1, :]))
             & (s["len"] >= d)
             & (prev(s["len"]) >= d)
         )
@@ -857,7 +884,7 @@ def linearize_and_band(
     node_nid = tri["nid"]
     node_w = tri["weight"]
     surv_pos = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
-    node_base = s["rev_base"]  # [B, N, SM]: base at (i, d-1)
+    node_base_nm = s["rb_nm"]  # [B, N*SM]: base at flat (i, d-1)
     # parent nid (d >= 2): tri["nid"][..., d-2] at same sorted row.
     pad_nid = jnp.concatenate(
         [jnp.full((B, N, 1), -1, I32), tri["nid"][..., : SM - 1]], axis=-1
@@ -903,7 +930,7 @@ def linearize_and_band(
     nrs = greo(gsrc(node_rs))
     nnid = greo(gsrc(node_nid))
     nw = greo(gsrc(node_w))
-    nbase = greo(gsrc(node_base))
+    nbase = greo(jnp.take_along_axis(node_base_nm, comp_idx, axis=-1))
     npar = greo(gsrc(pad_nid))
     # survivor chain fields: gather at the compact nodes only.
     csurv = greo(gsrc(surv_pos))  # sorted-chain position j*
@@ -912,7 +939,7 @@ def linearize_and_band(
     nsvp = jnp.take_along_axis(s["p"], jc, axis=-1)
     nsvrd = jnp.take_along_axis(s["read"], jc, axis=-1)
     nanch = jnp.take_along_axis(
-        s["rev_anchor"].reshape(B, N * SM),
+        s["ra_nm"],
         jnp.clip(jc * SM + (nd_ - 1), 0, N * SM - 1),
         axis=-1,
     )
@@ -1125,7 +1152,7 @@ def assemble_band(
     w_bb = bf(w_bb_full)
     # trie-node base: the depth-(d-1) reversed base of the node's
     # run-start chain (equal across the run by construction).
-    s_rb = linz["s"]["rev_base"].reshape(B, -1)  # [B, N*SM]
+    s_rb = linz["s"]["rb_nm"]  # [B, N*SM]
     node_base_tbl = jnp.take_along_axis(
         s_rb,
         jnp.clip(
@@ -1465,10 +1492,8 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
     Returns the assemble_band dict plus per-target fallback flags
     (cascade, overflow, sentinel bases)."""
     dec = decode_columns(ops, starts, caps)
-    cov, matches, cidx, cons_ops = coverage_and_matches(
-        ops, starts, dec, caps
-    )
-    mpos = matched_positions(dec, starts, cidx, cons_ops, Lr, caps)
+    cov, matches = coverage_and_matches(ops, starts, dec, caps)
+    mpos = matched_positions(ops, dec, starts, Lr, caps)
     chains = extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps)
     trans = transitions_table(dec, mpos, chains, starts, Lr, caps)
     absb = apply_absorption(chains, trans, bb, Lr, caps)
@@ -1477,8 +1502,7 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
         "p": absb["p"],
         "t": absb["t"],
         "len": absb["len"],
-        "rev_base": absb["rev_base"],
-        "rev_anchor": absb["rev_anchor"],
+        "rev_ba": absb["rev_ba"],
         "read": absb["read"],
         "phase": absb["phase"],
         "seq": absb["seq"],
@@ -1488,12 +1512,10 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
         tri, fc, absb, trans, cov, matches, bb, Lr, caps
     )
     out = assemble_band(linz, absb, trans, cov, matches, bb, Lr, caps)
+    rbv = fc["rev_ba"] & 0xFF  # [B, SM, N]
     sentinel = jnp.any(
         (fc["valid"])
-        & (
-            jnp.any(fc["rev_base"] == 94, axis=-1)
-            | jnp.any(fc["rev_base"] == 36, axis=-1)
-        ),
+        & (jnp.any(rbv == 94, axis=1) | jnp.any(rbv == 36, axis=1)),
         axis=-1,
     )
     out["flag_detail"] = {

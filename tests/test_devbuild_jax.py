@@ -50,9 +50,7 @@ def test_decode_cov_matches():
     encs = [_mk(1), _mk(2, L=30, depth=4)]
     ops, starts, bb, ins, Lr = batch_encode(encs, CAPS)
     dec = dbj.decode_columns(ops, starts, CAPS)
-    cov, matches, cidx, cons_ops = dbj.coverage_and_matches(
-        ops, starts, dec, CAPS
-    )
+    cov, matches = dbj.coverage_and_matches(ops, starts, dec, CAPS)
     for b, e in enumerate(encs):
         covn, matn, _tr, _ch = dbn._walk_reads(e)
         Ln = len(e.backbone)
@@ -68,10 +66,8 @@ def test_chain_extraction_matches_oracle():
     encs = [_mk(11), _mk(12, L=44, depth=8)]
     ops, starts, bb, ins, Lr = batch_encode(encs, CAPS)
     dec = dbj.decode_columns(ops, starts, CAPS)
-    cov, matches, cidx, cons_ops = dbj.coverage_and_matches(
-        ops, starts, dec, CAPS
-    )
-    mpos = dbj.matched_positions(dec, starts, cidx, cons_ops, Lr, CAPS)
+    cov, matches = dbj.coverage_and_matches(ops, starts, dec, CAPS)
+    mpos = dbj.matched_positions(ops, dec, starts, Lr, CAPS)
     chains = dbj.extract_chains(ops, starts, ins, dec, mpos, Lr, CAPS)
     for b, e in enumerate(encs):
         _c, _m, _tr, chn = dbn._walk_reads(e)
@@ -82,8 +78,9 @@ def test_chain_extraction_matches_oracle():
                 if not val[r, c]:
                     continue
                 m = int(np.asarray(chains["len"])[b, r, c])
-                rb = np.asarray(chains["rev_base"])[b, r, c, :m]
-                ra = np.asarray(chains["rev_anchor"])[b, r, c, :m]
+                ba = np.asarray(chains["rev_ba"])[b, :m, r, c]
+                rb = ba & 0xFF
+                ra = ba >> 8
                 got.append((
                     int(np.asarray(chains["p"])[b, r, c]),
                     int(np.asarray(chains["t"])[b, r, c]),
