@@ -712,6 +712,39 @@ def _seg_scan_min_fwd(values, start_flags):
     return v
 
 
+def _seg_run_min(values, start_flags):
+    """Full-run min broadcast to every member: forward prefix-min within
+    the run combined with a backward suffix-min. Two scans, no gather
+    (elementwise gathers run at ~0.1 Gelem/s on this backend — the
+    scans fuse and are ~50x cheaper)."""
+    fwd = _seg_scan_min_fwd(values, start_flags)
+    end_flags = jnp.concatenate(
+        [start_flags[..., 1:], jnp.ones_like(start_flags[..., :1])],
+        axis=-1,
+    )
+    bwd = jnp.flip(
+        _seg_scan_min_fwd(
+            jnp.flip(values, axis=-1), jnp.flip(end_flags, axis=-1)
+        ),
+        axis=-1,
+    )
+    return jnp.minimum(fwd, bwd)
+
+
+def _seg_hold_fwd(values, start_flags):
+    """Broadcast each run's start value to every member (forward
+    segmented hold scan)."""
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    v, _ = jax.lax.associative_scan(
+        op, (values, start_flags), axis=-1
+    )
+    return v
+
+
 def build_tries(fc, Lr, caps: Caps):
     """Suffix-trie construction from the flat chain table (post-
     absorption). Returns sorted-chain arrays and the per-(chain, depth)
@@ -799,6 +832,10 @@ def build_tries(fc, Lr, caps: Caps):
 
     pos = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
     seqpack = (s["phase"] << 14) | s["seq"]  # creation order of chains
+    # segmented min of (phase, seq, pos): 32-bit packing —
+    # phase(1b) | seq(14b) | pos(14b), fits int32 for N <= 16384.
+    packed = (seqpack << 14) | pos
+    zval = base_id - lcp  # nid = z[owner] + d - 1
 
     owners, run_ends, nids, weights, survivors = [], [], [], [], []
     for d in range(1, SM + 1):
@@ -813,21 +850,14 @@ def build_tries(fc, Lr, caps: Caps):
         run_end = jnp.concatenate(
             [rev_cummin[..., 1:], jnp.full((B, 1), N, dtype=I32)], axis=-1
         )
-        # segmented min of (phase, seq, pos) over the run, evaluated at
-        # run_end - 1, gathered back to every member. 32-bit packing:
-        # phase(1b) | seq(14b) | pos(14b) — fits int32 for N <= 16384.
-        packed = (seqpack << 14) | pos
-        smin = _seg_scan_min_fwd(packed, bnd)
-        run_min = jnp.take_along_axis(
-            smin, jnp.clip(run_end - 1, 0, N - 1), axis=-1
-        )
         owners.append(owner)
         run_ends.append(run_end)
-        lcp_own = jnp.take_along_axis(lcp, owner, axis=-1)
-        bid_own = jnp.take_along_axis(base_id, owner, axis=-1)
-        nids.append(bid_own + d - lcp_own - 1)
+        # run-start z and full-run min broadcast by segmented scans
+        # (the old gather-at-owner / gather-at-run_end forms paid the
+        # elementwise-gather rate 3x per depth).
+        nids.append(_seg_hold_fwd(zval, bnd) + d - 1)
         weights.append(run_end - owner)
-        survivors.append(run_min)
+        survivors.append(_seg_run_min(packed, bnd))
 
     return {
         "sorted": s,
@@ -873,22 +903,19 @@ def linearize_and_band(
     BIGT = jnp.int32(1 << 20)
 
     # ---- flat node list [B, N*SM] ------------------------------------
+    # Node grid fields that are pure broadcasts of per-chain arrays
+    # (t, depth, run-start) are NOT materialized/gathered: compact flat
+    # indices decompose as i = idx // SM, d = idx % SM + 1, so those
+    # fields are arithmetic on the index. Per-node gathers are composed
+    # through ONE postordered index (gidx) instead of gsrc-then-greo
+    # chains — elementwise gathers are the dominant cost on this
+    # backend (~0.1 Gelem/s), so every avoided gather counts.
     nn = tri["node_new"]  # [B, N, SM]
-    dvals = jnp.arange(1, SM + 1, dtype=I32)[None, None, :]
-    node_t = jnp.where(nn, s["t"][..., None], BIGT)
-    node_d = jnp.broadcast_to(dvals, nn.shape)
-    node_rs = jnp.broadcast_to(  # run start (sorted chain index)
-        jnp.arange(N, dtype=I32)[None, :, None], nn.shape
-    )
     node_re = tri["run_end"]
     node_nid = tri["nid"]
     node_w = tri["weight"]
     surv_pos = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
     node_base_nm = s["rb_nm"]  # [B, N*SM]: base at flat (i, d-1)
-    # parent nid (d >= 2): tri["nid"][..., d-2] at same sorted row.
-    pad_nid = jnp.concatenate(
-        [jnp.full((B, N, 1), -1, I32), tri["nid"][..., : SM - 1]], axis=-1
-    )
 
     def fl(a):
         return a.reshape(B, N * SM)
@@ -906,38 +933,47 @@ def linearize_and_band(
     comp_valid = ck_s[:, :ND] == 0
     over_nd = n_nodes > ND
 
-    def gsrc(a):
-        out = jnp.take_along_axis(fl(a), comp_idx, axis=-1)
-        return out
+    ct = jnp.where(
+        comp_valid,
+        jnp.take_along_axis(s["t"], comp_idx // SM, axis=-1),
+        BIGT,
+    )
+    cd = comp_idx % SM + 1
+    cre = jnp.take_along_axis(fl(node_re), comp_idx, axis=-1)
 
-    ct = jnp.where(comp_valid, gsrc(node_t), BIGT)
-    cd = gsrc(node_d)
-    cre = gsrc(node_re)
-
-    # postorder sort of the COMPACT table: (t, run_end, depth desc).
+    # postorder sort of the COMPACT table: (t, run_end, depth desc);
+    # the sorted key operands double as the reordered fields.
     rank0 = jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))
-    st_t, _r1, _r2, po_src = jax.lax.sort(
+    st_t, nre, smcd, po_src = jax.lax.sort(
         (ct, cre, SM - cd, rank0), dimension=-1, num_keys=3
     )
 
-    def greo(a):  # reorder a compact-table field into postorder
-        return jnp.take_along_axis(a, po_src, axis=-1)
-
     nvalid_t = st_t < BIGT
     nt = st_t
-    nd_ = greo(cd)
-    nre = greo(cre)
-    nrs = greo(gsrc(node_rs))
-    nnid = greo(gsrc(node_nid))
-    nw = greo(gsrc(node_w))
-    nbase = greo(jnp.take_along_axis(node_base_nm, comp_idx, axis=-1))
-    npar = greo(gsrc(pad_nid))
-    # survivor chain fields: gather at the compact nodes only.
-    csurv = greo(gsrc(surv_pos))  # sorted-chain position j*
+    nd_ = SM - smcd
+    gidx = jnp.take_along_axis(comp_idx, po_src, axis=-1)  # composed
+    nrs = gidx // SM  # run start (sorted chain index)
+    nnid = jnp.take_along_axis(fl(node_nid), gidx, axis=-1)
+    # parent nid (d >= 2) sits one flat slot left of the node.
+    npar = jnp.where(
+        gidx % SM == 0,
+        jnp.int32(-1),
+        jnp.take_along_axis(
+            fl(node_nid), jnp.clip(gidx - 1, 0, NF - 1), axis=-1
+        ),
+    )
+    nw = jnp.take_along_axis(fl(node_w), gidx, axis=-1)
+    nbase = jnp.take_along_axis(node_base_nm, gidx, axis=-1)
+    # survivor chain fields: one packed word per chain -> one gather.
+    csurv = jnp.take_along_axis(fl(surv_pos), gidx, axis=-1)
     jc = jnp.clip(csurv, 0, N - 1)
-    nsvlen = jnp.take_along_axis(s["len"], jc, axis=-1)
-    nsvp = jnp.take_along_axis(s["p"], jc, axis=-1)
-    nsvrd = jnp.take_along_axis(s["read"], jc, axis=-1)
+    # len(5b @25) | p(15b @10) | read(10b): p <= L+1 <= 16385 needs 15
+    # bits at the top L rung; read < R <= 512.
+    sv_pack = (s["len"] << 25) | (s["p"] << 10) | s["read"]
+    svw = jnp.take_along_axis(sv_pack, jc, axis=-1)
+    nsvlen = svw >> 25
+    nsvp = (svw >> 10) & ((1 << 15) - 1)
+    nsvrd = svw & ((1 << 10) - 1)
     nanch = jnp.take_along_axis(
         s["ra_nm"],
         jnp.clip(jc * SM + (nd_ - 1), 0, N * SM - 1),
@@ -998,12 +1034,11 @@ def linearize_and_band(
     # deepest node nid_at(i, len) -> lin; dedupe by (p, node).
     clen = s["len"]
     cvalid = s["valid"] & (clen >= 1)
-    deep_nid = jnp.take_along_axis(
-        tri["nid"].reshape(B, N * SM),
-        (jnp.arange(N, dtype=I32)[None, :] * SM
-         + jnp.clip(clen - 1, 0, SM - 1)),
-        axis=-1,
-    )
+    # deepest node id per chain: select over the SM depth slices (dense
+    # selects beat one elementwise gather by ~10x here).
+    deep_nid = tri["nid"][..., 0]
+    for d in range(2, SM + 1):
+        deep_nid = jnp.where(clen == d, tri["nid"][..., d - 1], deep_nid)
     deep_lin = lin_of_nid(jnp.clip(deep_nid, 0, ND - 1))
     se_key_p = jnp.where(cvalid, s["p"], jnp.int32(1 << 20))
     se_key_n = jnp.where(cvalid, deep_lin, jnp.int32(1 << 28))
@@ -1035,41 +1070,39 @@ def linearize_and_band(
         jax.lax.cummin(jnp.flip(nxtb, axis=-1), axis=1), axis=-1
     )
     se_count = run_end_se - posn  # valid at uniq rows
-    # any-strip over run: segmented max of phase evaluated at run end.
+    # any-strip / min-read over the full run, broadcast to every member
+    # by two-sided segmented scans (invalid rows are singleton runs so
+    # valid runs never absorb the tail).
+    se_bnd = uniq | se_invalid
     ph_sorted = spay_ >> 27
-    smax = _seg_scan_min_fwd(-ph_sorted, uniq)
-    se_anystrip = (
-        jnp.take_along_axis(
-            -smax, jnp.clip(run_end_se - 1, 0, N - 1), axis=-1
-        ) > 0
-    )
+    se_anystrip = -_seg_run_min(-ph_sorted, se_bnd) > 0
     # min read among ALL contributing chains (segmented min of read).
     rd_sorted = jnp.take_along_axis(
         s["read"],
         jnp.clip(spay_ & ((1 << 14) - 1), 0, N - 1),
         axis=-1,
     )
-    rmin = _seg_scan_min_fwd(rd_sorted, uniq)
-    se_minrd = jnp.take_along_axis(
-        rmin, jnp.clip(run_end_se - 1, 0, N - 1), axis=-1
-    )
+    se_minrd = _seg_run_min(rd_sorted, se_bnd)
 
-    # node survivor info for the key phase decision, gathered via node
-    # table lookup by lin (invert lin_trie: lin sorted ascending).
-    def node_field_by_lin(field, q_lin):
-        qc = jnp.clip(
-            _row_searchsorted(lin_trie, q_lin, side="left"), 0, ND - 1
-        )
-        return jnp.take_along_axis(field, qc, axis=-1)
-
+    # node survivor info for the key phase decision, via ONE node-table
+    # lookup by lin (lin_trie ascending) and two packed field words.
     sn_clip = jnp.where(uniq, sn_, 0)
-    nd_first_deep = node_field_by_lin(
-        (nsvlen == nd_).astype(I32), sn_clip
+    qc = jnp.clip(
+        _row_searchsorted(lin_trie, sn_clip, side="left"), 0, ND - 1
     )
-    nd_first_p = node_field_by_lin(nsvp, sn_clip)
-    nd_first_rd = node_field_by_lin(nsvrd, sn_clip)
-    nd_pre = node_field_by_lin(pre_rank, sn_clip)
-    nd_t = node_field_by_lin(nt, sn_clip)
+    # w1: first-is-deep(1b @25) | svp(15b @10) | svrd(10b)
+    w1 = (
+        ((nsvlen == nd_).astype(I32) << 25) | (nsvp << 10) | nsvrd
+    )
+    # w2: pre_rank(14b @15) | min(t, L+1)(15b)
+    w2 = (pre_rank << 15) | jnp.minimum(nt, jnp.int32(L + 1))
+    g1 = jnp.take_along_axis(w1, qc, axis=-1)
+    g2w = jnp.take_along_axis(w2, qc, axis=-1)
+    nd_first_deep = g1 >> 25
+    nd_first_p = (g1 >> 10) & ((1 << 15) - 1)
+    nd_first_rd = g1 & ((1 << 10) - 1)
+    nd_pre = g2w >> 15
+    nd_t = g2w & ((1 << 15) - 1)
     unc_t_tbl = jnp.concatenate(
         [absb["strip_t"], jnp.zeros((B, 1), bool)], axis=-1
     )

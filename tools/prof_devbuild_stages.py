@@ -99,7 +99,7 @@ def main() -> int:
         fc = {
             "valid": absb["valid"].reshape(caps.B, -1),
             "p": absb["p"], "t": absb["t"], "len": absb["len"],
-            "rev_base": absb["rev_base"], "rev_anchor": absb["rev_anchor"],
+            "rev_ba": absb["rev_ba"],
             "read": absb["read"], "phase": absb["phase"], "seq": absb["seq"],
         }
         tri = dj.build_tries(fc, Lr, caps)
