@@ -1746,7 +1746,13 @@ int dagcon_encode_text(void* h, const char* text, long len, int fmt,
 // meta[3]=total inserted bases, meta[4]=total columns,
 // meta[5]=max insertion chains per read (device CH requirement),
 // meta[6]=max chain length (insertions in one inter-match segment;
-// device SM requirement). Returns sid length or -1.
+// device SM requirement),
+// meta[7]=max interior transition span (consecutive-match target-pos
+// gap with no interposed insertion; device DQ requirement),
+// meta[8]=max chains starting at one anchor, incl. the p=0 enter row
+// (upper bound on start edges per position; device SE requirement —
+// dedupe by (p, deepest node) can only shrink it).
+// Returns sid length or -1.
 int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
                     int sid_cap) {
   Engine* e = (Engine*)h;
@@ -1754,7 +1760,8 @@ int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
   if (idx < 0 || idx >= (int)e->encoded.size()) return -1;
   const Engine::EncTarget& t = e->encoded[idx];
   size_t maxc = 0, ni = 0, totc = 0;
-  int max_ch = 0, max_run = 0;
+  int max_ch = 0, max_run = 0, max_dq = 0, max_se = 0;
+  std::vector<int> anchor_cnt(t.bb.size() + 2, 0);
   for (const auto& r : t.reads) {
     maxc = std::max(maxc, r.ops.size());
     ni += r.ins.size();
@@ -1763,10 +1770,25 @@ int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
     // extract_chains): one chain per inter-match segment that holds
     // >=1 insertion; its length is the segment's insertion count.
     int seg = 0, cur_seg = -1, cur_len = 0, nch = 0;
+    int tpos = r.start - 1, prev_m = -1;
+    bool seg_ins = false;
     for (char op : r.ops) {
       if (op == 1) {
         ++seg;
+        ++tpos;
+        if (prev_m >= 1 && !seg_ins && tpos - prev_m > max_dq)
+          max_dq = tpos - prev_m;
+        prev_m = tpos;
+        seg_ins = false;
+      } else if (op == 2) {
+        ++tpos;
       } else if (op == 3) {
+        if (!seg_ins) {
+          int p = prev_m >= 1 ? prev_m : 0;
+          if (p < (int)anchor_cnt.size() && ++anchor_cnt[p] > max_se)
+            max_se = anchor_cnt[p];
+        }
+        seg_ins = true;
         if (seg != cur_seg) {
           cur_seg = seg;
           ++nch;
@@ -1784,6 +1806,8 @@ int dagcon_enc_meta(void* h, int idx, int* meta, char* sid_buf,
   meta[4] = (int)totc;
   meta[5] = max_ch;
   meta[6] = max_run;
+  meta[7] = max_dq;
+  meta[8] = max_se;
   int sl = (int)t.sid.size();
   if (sid_buf && sid_cap > 0) {
     int c = std::min(sl, sid_cap - 1);

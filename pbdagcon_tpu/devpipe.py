@@ -86,6 +86,8 @@ def ins_cap(caps) -> int:
 _SM_LADDER = (8, 14, 20)
 _CH_LADDER = (32, 64, 128, 256, 512)
 _ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
+_DQ_LADDER = (4, 6, 8, 12)
+_SE_LADDER = (4, 8, 16)
 
 
 def caps_for(
@@ -94,14 +96,17 @@ def caps_for(
     ch_need: int | None = None,
     sm_need: int | None = None,
     nd_need: int | None = None,
+    dq_need: int | None = None,
+    se_need: int | None = None,
 ):
     """Build-shape caps from the primary bucket dims.
 
-    `ch_need`/`sm_need`/`nd_need` are measured per-batch maxima (from
-    the encoder metas: max insertion chains per read, max chain length,
-    max per-target inserted bases); when given, the matching cap snaps
-    to the smallest ladder rung that covers the batch instead of the
-    worst-case formula.
+    `*_need` are measured per-batch maxima (from the encoder metas:
+    max insertion chains per read, max chain length, max per-target
+    inserted bases, max interior transition span, max chain starts per
+    anchor); when given, the matching cap snaps to the smallest ladder
+    rung that covers the batch instead of the worst-case formula. An
+    undersized cap only flags targets to the exact host path.
     """
     from pbdagcon_tpu.ops.devbuild_jax import Caps
 
@@ -122,39 +127,72 @@ def caps_for(
             _ladder(max(1, nd_need), _ND_LADDER) or (1 << 14) - 1,
             (1 << 14) - 1,
         )
+    DQ = cfg.DQ
+    if dq_need is not None:
+        DQ = _ladder(max(1, dq_need), _DQ_LADDER) or _DQ_LADDER[-1]
+    SE = cfg.SE
+    if se_need is not None:
+        SE = _ladder(max(1, se_need), _SE_LADDER) or _SE_LADDER[-1]
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,
         SM=SM,
         NC=R * CH,
         ND=ND,
-        SE=cfg.SE,
-        DQ=cfg.DQ,
+        SE=SE,
+        DQ=DQ,
         V=L + ND,
         W=cfg.W,
         K=cfg.K,
     )
 
 
-def chain_stats(ops: np.ndarray) -> tuple[int, int]:
-    """(max chains per read, max chain length) for an encoded ops
-    array [R, C] — the Python-path mirror of the native meta[5:7]."""
-    from pbdagcon_tpu.ops.devbuild import OP_INS, OP_MATCH
+def chain_stats(
+    ops: np.ndarray, starts: np.ndarray
+) -> tuple[int, int, int, int]:
+    """(max chains per read, max chain length, max interior transition
+    span, max chain starts per anchor) for an encoded ops array [R, C]
+    — the Python-path mirror of the native meta[5:9]."""
+    from pbdagcon_tpu.ops.devbuild import OP_DEL, OP_INS, OP_MATCH
 
+    R, C = ops.shape
     m = ops == OP_MATCH
     seg = np.cumsum(m, axis=-1) - m
     isin = ops == OP_INS
+    consume = m | (ops == OP_DEL)
+    tpos = starts[:, None] - 1 + np.cumsum(consume, axis=-1)
+    nmat = m.sum(-1)
+    # per-read match positions, compacted to the front in column order
+    mp = np.sort(np.where(m, tpos, np.int64(1) << 40), axis=-1)
+    # interior transition spans: gaps between consecutive matches whose
+    # inter-match segment (id j+1) holds no insertion.
+    seg_ins = np.zeros((R, C + 2), dtype=bool)
+    rr, cc = np.nonzero(isin)
+    seg_ins[rr, seg[rr, cc]] = True
+    max_dq = 0
+    if C > 1:
+        gaps = mp[:, 1:] - mp[:, :-1]
+        ok = (
+            (np.arange(1, C)[None, :] < nmat[:, None])
+            & ~seg_ins[:, 1:C]
+        )
+        if ok.any():
+            max_dq = int(gaps[ok].max())
     if not isin.any():
-        return 0, 0
-    r_idx, c_idx = np.nonzero(isin)
-    key = r_idx.astype(np.int64) * (ops.shape[1] + 1) + seg[r_idx, c_idx]
-    _uniq, first_idx, counts = np.unique(
+        return 0, 0, max_dq, 0
+    key = rr.astype(np.int64) * (C + 1) + seg[rr, cc]
+    uniq, first_idx, counts = np.unique(
         key, return_index=True, return_counts=True
     )
-    chains_per_read = np.bincount(
-        r_idx[first_idx], minlength=ops.shape[0]
+    chains_per_read = np.bincount(rr[first_idx], minlength=R)
+    # chain start anchors: p = previous match position (0 = enter).
+    r_u = (uniq // (C + 1)).astype(np.int64)
+    seg_u = (uniq % (C + 1)).astype(np.int64)
+    p_u = np.where(seg_u == 0, 0, mp[r_u, np.maximum(seg_u - 1, 0)])
+    max_se = int(np.bincount(p_u.astype(np.int64)).max())
+    return (
+        int(chains_per_read.max()), int(counts.max()), max_dq, max_se
     )
-    return int(chains_per_read.max()), int(counts.max())
 
 
 def encode_groups(
@@ -266,15 +304,18 @@ def run_devbuild_pipeline(
                 if tot_ins <= 0.11 * max(1, tot_cols)
                 else DevCapsConfig.heavy()
             )
-            ch_n = sm_n = nd_n = 0
+            ch_n = sm_n = nd_n = dq_n = se_n = 0
             for _, e in batchables:
-                c_, s_ = chain_stats(e.ops)
+                c_, s_, d_, a_ = chain_stats(e.ops, e.starts)
                 ch_n = max(ch_n, c_)
                 sm_n = max(sm_n, s_)
                 nd_n = max(nd_n, len(e.ins_base))
+                dq_n = max(dq_n, d_)
+                se_n = max(se_n, a_)
             caps = caps_for(
                 Bb, Rb, Cb, Lb, prof,
                 ch_need=ch_n, sm_need=sm_n, nd_need=nd_n,
+                dq_need=dq_n, se_need=se_n,
             )
             # ins-stream width is fixed per caps; oversized targets
             # take the host path instead of truncating.
@@ -432,6 +473,8 @@ def run_devbuild_native(
                     ch_need=int(sub[:, 5].max()),
                     sm_need=int(sub[:, 6].max()),
                     nd_need=int(sub[:, 3].max()),
+                    dq_need=int(sub[:, 7].max()),
+                    se_need=int(sub[:, 8].max()),
                 )
                 NI = ins_cap(caps)
                 over_ni = [i for i in idxs if int(metas[i, 3]) > NI]

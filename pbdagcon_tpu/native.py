@@ -323,10 +323,12 @@ class NativeEngine:
         return n
 
     def enc_metas(self, count: int, offset: int = 0) -> np.ndarray:
-        """[count, 7] int32: R, max columns, backbone len, #ins bases,
-        total columns, max ins-chains/read, max chain length."""
-        out = np.zeros((count, 7), dtype=np.int32)
-        meta = (ctypes.c_int * 7)()
+        """[count, 9] int32: R, max columns, backbone len, #ins bases,
+        total columns, max ins-chains/read, max chain length, max
+        interior transition span (DQ need), max chain starts per anchor
+        (SE need)."""
+        out = np.zeros((count, 9), dtype=np.int32)
+        meta = (ctypes.c_int * 9)()
         for i in range(count):
             if (
                 self._lib.dagcon_enc_meta(
@@ -340,7 +342,7 @@ class NativeEngine:
 
     def enc_sid(self, idx: int) -> str:
         sid_buf = ctypes.create_string_buffer(4096)
-        meta = (ctypes.c_int * 7)()
+        meta = (ctypes.c_int * 9)()
         if self._lib.dagcon_enc_meta(self._h, idx, meta, sid_buf, 4096) < 0:
             raise IndexError(idx)
         return sid_buf.value.decode()

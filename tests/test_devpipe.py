@@ -121,3 +121,52 @@ def test_devbuild_native_align_mode():
                      align=True, min_weight=2, min_length=50),
     )
     assert buf_d.getvalue() == buf_h.getvalue()
+
+
+def test_native_meta_needs_match_python_chain_stats():
+    """meta[5:9] (CH/SM/DQ/SE needs) from the C++ encoder must equal the
+    Python-path mirror (devpipe.chain_stats) on the same groups."""
+    import numpy as np
+    import pytest
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.devpipe import chain_stats
+    from pbdagcon_tpu.ops.devbuild import encode_group
+    from pbdagcon_tpu.simulate import NoiseProfile, to_pre_raw
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    groups = []
+    profs = [
+        NoiseProfile(),
+        NoiseProfile(sub=0.05, ins=0.2, dele=0.1),
+        NoiseProfile(sub=0.02, ins=0.3, dele=0.15, max_ins_run=5),
+    ]
+    for i, (tid, bb, alns) in enumerate(
+        simulate_targets(99, 6, 200, 12)
+    ):
+        groups.append((bb, alns))
+        for a in alns:
+            lines.append(to_pre_raw(a))
+    text = ("\n".join(lines) + "\n").encode()
+    with native.NativeEngine(
+        min_weight=2, min_length=50, threads=2, align=True
+    ) as eng:
+        count = eng.encode_text(text, fmt="pre", flush=True)
+        assert count == len(groups)
+        metas = eng.enc_metas(count)
+    # Python mirror: same text through the Python parser + aligner, so
+    # both sides encode identical alignments.
+    from pbdagcon_tpu.aligner import align_record
+    from pbdagcon_tpu.io import read_groups
+
+    pygroups = list(
+        read_groups(_io.StringIO(text.decode()), fmt="pre")
+    )
+    assert len(pygroups) == count
+    for i, g in enumerate(pygroups):
+        realigned = [align_record(a) for a in g.alns]
+        enc = encode_group(g.backbone, realigned, sid=g.sid)
+        ch, sm, dq, se = chain_stats(enc.ops, enc.starts)
+        assert tuple(metas[i, 5:9]) == (ch, sm, dq, se), f"target {i}"

@@ -55,12 +55,15 @@ def main() -> None:
         if tot_ins <= 0.11 * max(1, tot_cols)
         else DevCapsConfig.heavy()
     )
-    ch_n = max(chain_stats(e.ops)[0] for e in encs)
-    sm_n = max(chain_stats(e.ops)[1] for e in encs)
+    stats_all = [chain_stats(e.ops, e.starts) for e in encs]
     nd_n = max(len(e.ins_base) for e in encs)
     caps = caps_for(
         _ladder(len(encs), _B_LADDER) or _B_LADDER[-1], Rb, Cb, Lb, prof,
-        ch_need=ch_n, sm_need=sm_n, nd_need=nd_n,
+        ch_need=max(s[0] for s in stats_all),
+        sm_need=max(s[1] for s in stats_all),
+        nd_need=nd_n,
+        dq_need=max(s[2] for s in stats_all),
+        se_need=max(s[3] for s in stats_all),
     )
     print(f"caps: {caps}  profile={'compact' if prof.W == 64 else 'heavy'}")
     for lo in range(0, len(encs), caps.B):

@@ -59,6 +59,8 @@ def main() -> int:
         ch_need=int(metas[:, 5].max()),
         sm_need=int(metas[:, 6].max()),
         nd_need=int(metas[:, 3].max()),
+        dq_need=int(metas[:, 7].max()),
+        se_need=int(metas[:, 8].max()),
     )
     print(f"caps: {caps}", file=sys.stderr)
     NI = ins_cap(caps)

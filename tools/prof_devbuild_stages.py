@@ -58,6 +58,8 @@ def main() -> int:
         ch_need=int(metas[:, 5].max()),
         sm_need=int(metas[:, 6].max()),
         nd_need=int(metas[:, 3].max()),
+        dq_need=int(metas[:, 7].max()),
+        se_need=int(metas[:, 8].max()),
     )
     NI = ins_cap(caps)
     part = [i for i in range(count) if int(metas[i, 3]) <= NI][: caps.B]
