@@ -140,29 +140,50 @@ def coverage_and_matches(ops, starts, dec, caps: Caps):
 
 
 def matched_positions(ops, dec, starts, Lr, caps: Caps):
-    """mpos[b, r, j] = target position of the j-th match of read r
-    (1-based positions; exit = Lr+1 padding beyond the last match).
+    """Match tables in match-rank space, via one flat 2-operand sort.
 
-    One flat 2-operand sort: the keys form a per-read permutation of
-    column slots (matches take slots 0..nmat-1 in column order, the
-    other columns fill the rest), so the sorted values land exactly at
-    slot r*C + j — no argsort, no grid gathers."""
+    Returns (mpos, mchain, s0chain):
+      mpos[b, r, j]   = target position of the j-th match of read r
+                        (1-based; exit = Lr+1 beyond the last match);
+      mchain[b, r, j] = the segment FOLLOWING match j holds >= 1
+                        insertion (so it forms a chain);
+      s0chain[b, r]   = the leading segment (before the first match)
+                        holds an insertion.
+
+    The sort keys form a per-read permutation of column slots (matches
+    take slots 0..nmat-1 in column order, the other columns fill the
+    rest), so sorted values land exactly at slot r*C + j — no argsort,
+    no grid gathers. The follows-segment flag rides bit 15 of the value
+    (tpos <= L+1 < 2^15): it is the run-OR of is_ins over [match col,
+    next match col), computed by a two-sided segmented scan."""
     B, R, C = caps.B, caps.R, caps.C
     is_m = ops == OP_MATCH
     nm = dec["nm"]  # inclusive per-column match count
     nmat = dec["n_matches"][..., None]
     cgrid = jnp.arange(C, dtype=I32)[None, None, :]
+    # any-insertion within the run from each match column (inclusive)
+    # to the next match column (exclusive); runs also break at read
+    # starts so the leading segment is its own run.
+    bnd = (is_m | (cgrid == 0)).reshape(B, R * C)
+    runor = (
+        -_seg_run_min(
+            -dec["is_ins"].astype(jnp.int8).reshape(B, R * C), bnd
+        )
+    ).reshape(B, R, C) > 0
+    s0chain = runor[:, :, 0] & ~is_m[:, :, 0]
     slot = jnp.where(is_m, nm - 1, nmat + (cgrid - nm))
     rr = jnp.arange(R, dtype=I32)[None, :, None]
     key = (rr * C + slot).reshape(B, R * C)
-    val = jnp.where(is_m, dec["tpos"], 0).reshape(B, R * C)
+    val = jnp.where(
+        is_m, dec["tpos"] | (runor.astype(I32) << 15), 0
+    ).reshape(B, R * C)
     _sk, sv = jax.lax.sort((key, val), dimension=-1, num_keys=1)
+    svg = sv.reshape(B, R, C)
     j = jnp.arange(C, dtype=I32)
-    return jnp.where(
-        j[None, None, :] < dec["n_matches"][..., None],
-        sv.reshape(B, R, C),
-        Lr[:, None, None] + 1,
-    )
+    in_m = j[None, None, :] < dec["n_matches"][..., None]
+    mpos = jnp.where(in_m, svg & 0x7FFF, Lr[:, None, None] + 1)
+    mchain = in_m & (svg >> 15 > 0)
+    return mpos, mchain, s0chain
 
 
 def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
@@ -186,22 +207,24 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     cum = jnp.cumsum(flat_ins, axis=-1, dtype=I32)  # inclusive
     total = cum[:, -1]  # [B] total ins per target
     k = jnp.arange(NI, dtype=I32)
-    # pos[b, k] = flat (r, c) index of the k-th insertion. Binary
-    # search, not co-sort: the row (R*C wide) dwarfs the queries, so
-    # method='sort' would pay a full-grid sort while the scan pays
-    # log2(R*C) output-sized gathers.
-    pos = jax.vmap(
-        lambda row, q: jnp.searchsorted(
-            row, q, side="left", method="scan_unrolled"
-        )
-    )(cum, jnp.broadcast_to(k + 1, (B, NI))).astype(I32)
-    valid_k = k[None, :] < total[:, None]
-    posc = jnp.clip(pos, 0, RC - 1)
-    r_of = posc // C
-    seg_k = jnp.take_along_axis(dec["seg"].reshape(B, RC), posc, axis=-1)
-    anchor_k = jnp.take_along_axis(
-        dec["tpos"].reshape(B, RC), posc, axis=-1
+    # k-th insertion's flat (r, c) index plus its (seg, anchor), via one
+    # 3-operand sort whose keys rank insertion columns 0..total-1 and
+    # push the rest behind: sorted values land compacted in k order.
+    # (The old binary-search + two follow-up gathers paid the
+    # elementwise-gather rate three times.)
+    fidx = jnp.broadcast_to(jnp.arange(RC, dtype=I32), (B, RC))
+    skey = jnp.where(flat_ins, cum - 1, RC + fidx)
+    sa = (
+        (dec["seg"] << 15) | dec["tpos"]
+    ).reshape(B, RC)  # seg(<=C) @15 | tpos(15b)
+    _sk3, pos_s, sa_s = jax.lax.sort(
+        (skey, fidx, sa), dimension=-1, num_keys=1
     )
+    valid_k = k[None, :] < total[:, None]
+    posc = jnp.clip(pos_s[:, :NI], 0, RC - 1)
+    r_of = posc // C
+    seg_k = sa_s[:, :NI] >> 15
+    anchor_k = sa_s[:, :NI] & 0x7FFF
     base_k = ins_base  # by construction aligned with k
 
     # chain = run of equal (read, seg) in the compact stream.
@@ -255,18 +278,18 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     )
 
     # p / t anchors from mpos: seg s -> p = s==0 ? 0 : mpos[s-1],
-    # t = s < nmat ? mpos[s] : L+1.
+    # t = s < nmat ? mpos[s] : L+1. One packed gather serves both:
+    # pair[j] = mpos[j](15b @15) | mpos[j-1](15b).
     nmat = dec["n_matches"]
-    s_clip = jnp.clip(chain_seg - 1, 0, C - 1)
-    p_anchor = jnp.where(
-        chain_seg == 0,
-        0,
-        jnp.take_along_axis(mpos, s_clip, axis=-1),
+    mprev = jnp.concatenate(
+        [jnp.zeros((B, R, 1), I32), mpos[..., :-1]], axis=-1
     )
+    pairg = jnp.take_along_axis(
+        (mpos << 15) | mprev, jnp.clip(chain_seg, 0, C - 1), axis=-1
+    )
+    p_anchor = jnp.where(chain_seg == 0, 0, pairg & 0x7FFF)
     t_anchor = jnp.where(
-        chain_seg < nmat[..., None],
-        jnp.take_along_axis(mpos, jnp.clip(chain_seg, 0, C - 1), axis=-1),
-        Lr[:, None, None] + 1,
+        chain_seg < nmat[..., None], pairg >> 15, Lr[:, None, None] + 1
     )
 
     # packed reversed strings + per-depth anchors: depth d (1..SM) is
@@ -339,7 +362,7 @@ def _row_ss_lr(rows, queries):
     return both[..., :Q], both[..., Q:]
 
 
-def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
+def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
     """Aggregate chainless anchor transitions.
 
     One sorted-histogram pass over (read, match-index) space: each match
@@ -362,11 +385,8 @@ def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
     BIG = jnp.int32(1 << 24)
     nmat = dec["n_matches"]
     live = starts > 0
+    mpos, mchain, s0chain = mtab
 
-    # seg s has a chain? chain segs are sorted ascending per read.
-    ch_seg_sorted = jnp.where(
-        chains["valid"], chains["seg"], jnp.iinfo(jnp.int32).max
-    )
     jgrid = jnp.arange(C, dtype=I32)[None, None, :]
     p_j = mpos  # [B, R, C]: p of match j
     nxt = jnp.concatenate(
@@ -375,17 +395,10 @@ def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
     is_match = (jgrid < nmat[..., None]) & live[..., None]
     is_last = (jgrid + 1) >= nmat[..., None]
     nxt = jnp.where(is_last, Lr[:, None, None] + 1, nxt)
-    # following segment (j+1) has insertions?
-    sidx = _row_searchsorted(
-        ch_seg_sorted, jnp.broadcast_to(jgrid + 1, (B, R, C))
-    )
-    has_chain = (
-        jnp.take_along_axis(
-            ch_seg_sorted, jnp.clip(sidx, 0, caps.CH - 1), axis=-1
-        )
-        == jgrid + 1
-    )
-    contrib = is_match & ~has_chain
+    # following segment (j+1) has insertions? (precomputed run-OR flag
+    # riding the mpos permutation sort — the old searchsorted + grid
+    # gather formulation paid the elementwise-gather rate twice)
+    contrib = is_match & ~mchain
     delta = nxt - p_j
     over_dq = jnp.any(contrib & ~is_last & (delta > DQ), axis=(1, 2))
 
@@ -399,10 +412,9 @@ def transitions_table(dec, mpos, chains, starts, Lr, caps: Caps):
         jnp.where(contrib & is_last, p_j * STRIDE + DQ + 1, BIG),
     )
     # enter events: one per read (j-independent); place at lane 0.
-    s0_has_chain = ch_seg_sorted[..., 0] == 0
     first_q = jnp.where(nmat > 0, mpos[..., 0], Lr[:, None] + 1)
     e_key = jnp.where(
-        live & ~s0_has_chain, EOFF + first_q, BIG
+        live & ~s0chain, EOFF + first_q, BIG
     )  # [B, R]
     keys = jnp.concatenate(
         [key.reshape(B, R * C), e_key], axis=-1
@@ -523,21 +535,30 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     assert SM >= J, "SM ladder must cover the absorption probe depth"
     jj = jnp.arange(1, J + 1, dtype=I32)  # [J]
     tj = tf[:, None, :] - jj[None, :, None]  # [B, J, N] pm at round j
-    tjc = jnp.clip(tj, 0, caps.L + 1)
-    # outdeg1 and backbone base at p pack into ONE per-position table
-    # (bit0 = outdeg1, bits 1.. = base char) -> one gather per round
-    # instead of two.
+    # 7-bit entries for rounds 1..J pack into one word per position:
+    # ent(x) = outdeg1(x) | (bb[x-1] & 0x3F) << 1, word(p) holds
+    # ent(p-1)..ent(p-J) -> ONE [B, N] gather at t instead of a
+    # [B, J*N] one. The chars in play (ACGTN + the ^/$ sentinels) span
+    # [36, 94] — pairwise diffs < 64 — so the 6-bit base comparison is
+    # collision-free; entry 0 (not out-degree-1) fails bit 0 first.
     bbp = jnp.pad(bb.astype(I32), ((0, 0), (1, 1)))  # [B, L+2]
-    od1bb = jnp.where(outdeg1, (bbp << 1) | 1, 0)
-    tb_j = jnp.take_along_axis(
-        od1bb, tjc.reshape(B, J * N), axis=-1
-    ).reshape(B, J, N)
+    ent = jnp.where(outdeg1, ((bbp & 0x3F) << 1) | 1, 0)
+    word = jnp.zeros_like(ent)
+    for j2 in range(1, J + 1):
+        sh = jnp.concatenate(
+            [jnp.zeros((B, j2), I32), ent[:, :-j2]], axis=-1
+        )  # sh[p] = ent[p - j2]; p - j2 < 0 -> 0
+        word = word | (sh << (7 * (j2 - 1)))
+    wt = jnp.take_along_axis(
+        word, jnp.clip(tf, 0, caps.L + 1), axis=-1
+    )  # [B, N]
+    ent_j = (wt[:, None, :] >> (7 * (jj[None, :, None] - 1))) & 0x7F
     ok = (
         valid[:, None, :]
         & (jj[None, :, None] <= lenf[:, None, :])
         & (tj >= 1)
-        & ((tb_j & 1) == 1)
-        & ((tb_j >> 1) == (ba[:, :J, :] & 0xFF))
+        & ((ent_j & 1) == 1)
+        & ((ent_j >> 1) == (ba[:, :J, :] & 0x3F))
     )
     pref = jnp.cumsum(jnp.where(ok, 0, 1), axis=1) == 0  # prefix-AND
     kx = jnp.sum(pref[:, :ABR, :].astype(I32), axis=1)  # [B, N] 0..ABR
@@ -1141,7 +1162,7 @@ def linearize_and_band(
 
 
 def assemble_band(
-    linz, absb, trans, cov, matches, bb, Lr, caps: Caps
+    linz, absb, trans, cov, matches, bb, Lr, caps: Caps, _upto: int = 0
 ):
     """Materialize win/exit/key bands and per-node arrays, [B, V]-shaped,
     by pure gathers (no scatter): every linear index classifies as a trie
@@ -1172,6 +1193,8 @@ def assemble_band(
     pic = jnp.clip(pi, 0, L + 1)
     is_bb = jnp.take_along_axis(lb_masked, pic, axis=-1) == vb
     in_range = vb < n_total[:, None]
+    if _upto == 1:
+        return {"is_trie": is_trie, "is_bb": is_bb, "in_range": in_range}
 
     def nf(field):  # node field at v (trie rows)
         return jnp.take_along_axis(field, kic, axis=-1)
@@ -1207,6 +1230,9 @@ def assemble_band(
     )
     cov_lin = jnp.where(is_trie, cov_anchor, bf(cov))
     unsup = is_bb & (weight == 1)
+    if _upto == 2:
+        return {"base": base, "weight": weight, "bbpos": bbpos,
+                "cov_lin": cov_lin, "unsup": unsup}
 
     # ---- band classes -------------------------------------------------
     # Accumulated in [B, W, V] layout — V on the minor (lane) dimension
@@ -1264,6 +1290,9 @@ def assemble_band(
     exit_key = jnp.where(
         is_bb & ~at_L & (xcnt > 0), xkey, exit_key
     )
+    if _upto == 3:
+        return {"win": win, "wkey": wkey, "flags": flags,
+                "exit_cnt": exit_cnt, "exit_key": exit_key}
 
     # transitions dq = 2..DQ: short spans to the band, long spans (the
     # linear gap includes interposed tries) to the K-register file.
@@ -1298,11 +1327,31 @@ def assemble_band(
         | (sel_all.astype(I32) << 14)
         | rd_all
     )
-    for dq in range(2, DQ + 1):
-        qlin = jnp.take_along_axis(
-            lin_bb_full, jnp.clip(pic + dq, 0, L + 1), axis=-1
+    # p-space shifted-lin tables (pure slices) + ONE broadcast gather
+    # into v-space for all dq lanes at once: index-broadcast gathers
+    # vectorize on TPU (~50x the elementwise-gather rate), so the loop
+    # body below is dense slicing only.
+    def lin_shift(dq):  # lin_bb_full at min(p + dq, L + 1)
+        return jnp.concatenate(
+            [lin_bb_full[:, dq:],
+             jnp.repeat(lin_bb_full[:, L + 1 :], dq, axis=1)],
+            axis=-1,
         )
-        pk = bf(packed_all[..., dq - 1])
+
+    qlin_all = jnp.stack(
+        [lin_shift(dq) for dq in range(2, DQ + 1)], axis=1
+    )  # [B, DQ-1, L+2]
+    pa_t = jnp.moveaxis(packed_all, 2, 1)  # [B, DQ, L+2]
+    picb = pic[:, None, :]
+    qlin_v = jnp.take_along_axis(
+        qlin_all, jnp.broadcast_to(picb, (B, DQ - 1, V)), axis=2
+    )
+    pk_v = jnp.take_along_axis(
+        pa_t, jnp.broadcast_to(picb, (B, DQ, V)), axis=2
+    )
+    for dq in range(2, DQ + 1):
+        qlin = qlin_v[:, dq - 2, :]
+        pk = pk_v[:, dq - 1, :]
         c12 = pk >> 15
         rd = pk & ((1 << 14) - 1)
         key = jnp.where(
@@ -1340,6 +1389,8 @@ def assemble_band(
         lk_long.append(okp & ((qlin_p - lin_bb_full) > W))
         lk_esc.append(bb_esc(c1p + c2p, pgrid + dq))
 
+    if _upto == 4:
+        return {"win": win, "wkey": wkey, "flags": flags}
     # died strips with dd > DQ are always K candidates.
     dl = absb["died_long"]
     dl_ok = dl["p"] >= 0
@@ -1387,21 +1438,43 @@ def assemble_band(
     # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
     # the per-slot v-space loop gathers 2 arrays instead of 3.
     su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
-    # per backbone p: short run = rows with key exactly 2p.
-    p_of_v = pic  # [B, V]
-    qk = jnp.where(is_bb, p_of_v * 2, -2)
-    lo, hi = _row_ss_lr(su_key, qk)
-    flags = flags | jnp.any(is_bb & (hi - lo > SE), axis=-1)
+    # Per backbone p: short run = rows with key exactly 2p. Slot tables
+    # are built in p-space ([B, SE, L+2], elementwise gathers on the
+    # small axis), then moved to v-space with ONE broadcast gather per
+    # field — the old per-slot v-space gathers dominated this stage.
+    HLp = L + 2
+    qk_p = jnp.broadcast_to(
+        jnp.arange(HLp, dtype=I32) * 2, (B, HLp)
+    )
+    lo_p, hi_p = _row_ss_lr(su_key, qk_p)
+    p_real = (
+        (jnp.arange(HLp, dtype=I32)[None, :] >= 1)
+        & (jnp.arange(HLp, dtype=I32)[None, :] <= Lr[:, None])
+    )
+    flags = flags | jnp.any(p_real & (hi_p - lo_p > SE), axis=-1)
+    si_ar = jnp.arange(SE, dtype=I32)[None, :, None]
+    j_p = jnp.clip(
+        lo_p[:, None, :] + si_ar, 0, N - 1
+    ).reshape(B, SE * HLp)
+    t_nc = jnp.take_along_axis(su_nc, j_p, axis=-1).reshape(B, SE, HLp)
+    t_k = jnp.take_along_axis(su_k, j_p, axis=-1).reshape(B, SE, HLp)
+    t_ok = (
+        (lo_p[:, None, :] + si_ar < hi_p[:, None, :]).astype(jnp.int8)
+    )
+    picb2 = jnp.broadcast_to(pic[:, None, :], (B, SE, V))
+    nc_v = jnp.take_along_axis(t_nc, picb2, axis=2)
+    k_v = jnp.take_along_axis(t_k, picb2, axis=2)
+    ok_v = jnp.take_along_axis(t_ok, picb2, axis=2) > 0
     for si in range(SE):
-        j = jnp.clip(lo + si, 0, N - 1)
-        ok = is_bb & (lo + si < hi)
-        nc = jnp.take_along_axis(su_nc, j, axis=-1)
+        nc = nc_v[:, si, :]
         tgt = (nc >> 14).astype(I32)
         cnt = (nc & ((1 << 14) - 1)).astype(I32)
-        key = jnp.take_along_axis(su_k, j, axis=-1)
         win, wkey, flags = add_class(
-            win, wkey, flags, ok, tgt - vb, cnt, key
+            win, wkey, flags, is_bb & ok_v[:, si, :], tgt - vb, cnt,
+            k_v[:, si, :],
         )
+    if _upto == 5:
+        return {"win": win, "wkey": wkey, "flags": flags}
     # long start edges -> K candidates; esc uses the target trie node's
     # coverage(anchor) (trie nodes are never unsupported-backbone).
     se_anch = jnp.where(
@@ -1458,6 +1531,9 @@ def assemble_band(
         k_live, takeK(ce), jnp.float32(np.finfo(np.float32).min)
     )
 
+    if _upto == 6:
+        return {"win": win, "wkey": wkey, "flags": flags,
+                "long_u": long_u, "long_esc": long_esc}
     # ---- enter tables -------------------------------------------------
     # candidates: ctor (q=1 / exit if Lr==0), transitions q, exit, and
     # enter start edges. Evaluated directly by the backtrack's first
@@ -1526,9 +1602,9 @@ def device_build(ops, starts, bb, ins_base, Lr, caps: Caps):
     (cascade, overflow, sentinel bases)."""
     dec = decode_columns(ops, starts, caps)
     cov, matches = coverage_and_matches(ops, starts, dec, caps)
-    mpos = matched_positions(ops, dec, starts, Lr, caps)
-    chains = extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps)
-    trans = transitions_table(dec, mpos, chains, starts, Lr, caps)
+    mtab = matched_positions(ops, dec, starts, Lr, caps)
+    chains = extract_chains(ops, starts, ins_base, dec, mtab[0], Lr, caps)
+    trans = transitions_table(dec, mtab, chains, starts, Lr, caps)
     absb = apply_absorption(chains, trans, bb, Lr, caps)
     fc = {
         "valid": absb["valid"].reshape(caps.B, -1),

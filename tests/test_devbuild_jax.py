@@ -67,7 +67,7 @@ def test_chain_extraction_matches_oracle():
     ops, starts, bb, ins, Lr = batch_encode(encs, CAPS)
     dec = dbj.decode_columns(ops, starts, CAPS)
     cov, matches = dbj.coverage_and_matches(ops, starts, dec, CAPS)
-    mpos = dbj.matched_positions(ops, dec, starts, Lr, CAPS)
+    mpos, _mch, _s0 = dbj.matched_positions(ops, dec, starts, Lr, CAPS)
     chains = dbj.extract_chains(ops, starts, ins, dec, mpos, Lr, CAPS)
     for b, e in enumerate(encs):
         _c, _m, _tr, chn = dbn._walk_reads(e)

@@ -76,9 +76,9 @@ def main() -> int:
     def front(ops, starts, bb, ins_base, Lr):
         dec = dj.decode_columns(ops, starts, caps)
         cov_, matches = dj.coverage_and_matches(ops, starts, dec, caps)
-        mpos = dj.matched_positions(ops, dec, starts, Lr, caps)
-        chains = dj.extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps)
-        trans = dj.transitions_table(dec, mpos, chains, starts, Lr, caps)
+        mtab = dj.matched_positions(ops, dec, starts, Lr, caps)
+        chains = dj.extract_chains(ops, starts, ins_base, dec, mtab[0], Lr, caps)
+        trans = dj.transitions_table(dec, mtab, chains, starts, Lr, caps)
         return chains, trans
 
     chains, trans = front(d_ops, d_starts, d_bb, d_ins, d_Lr)

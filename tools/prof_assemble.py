@@ -1,11 +1,7 @@
-"""Sub-stage attribution for device_build on the real chip: time jitted
-prefixes of the stage chain; differences give per-stage cost (fusion
-across stage boundaries shifts a little work between neighbours, but the
-big numbers are unambiguous).
+"""Sub-block attribution inside assemble_band on the real chip.
 
-    python tools/prof_devbuild_stages.py [n_targets] [cov]
+    python tools/prof_assemble.py [n_targets] [cov]
 """
-import functools
 import sys
 import time
 
@@ -50,25 +46,51 @@ def main() -> int:
         if tot_ins <= 0.11 * max(1, tot_cols)
         else DevCapsConfig.heavy()
     )
-    Rb = _ladder(int(metas[:, 0].max()), _R_LADDER)
-    Cb = _ladder(int(metas[:, 1].max()), _C_LADDER)
-    Lb = _ladder(int(metas[:, 2].max()), _L_LADDER)
     caps = caps_for(
-        _ladder(count, _B_LADDER) or _B_LADDER[-1], Rb, Cb, Lb, dcfg,
+        _ladder(count, _B_LADDER) or _B_LADDER[-1],
+        _ladder(int(metas[:, 0].max()), _R_LADDER),
+        _ladder(int(metas[:, 1].max()), _C_LADDER),
+        _ladder(int(metas[:, 2].max()), _L_LADDER),
+        dcfg,
         ch_need=int(metas[:, 5].max()),
         sm_need=int(metas[:, 6].max()),
         nd_need=int(metas[:, 3].max()),
         dq_need=int(metas[:, 7].max()),
         se_need=int(metas[:, 8].max()),
     )
+    print(f"caps: {caps}", file=sys.stderr)
     NI = ins_cap(caps)
     part = [i for i in range(count) if int(metas[i, 3]) <= NI][: caps.B]
     ops, starts, bbuf, ins, Lrr = eng.enc_fill(
         part, caps.R, caps.C, caps.L, NI, B=caps.B
     )
-    d = tuple(jax.device_put(np.asarray(a)) for a in
-              (ops, starts, bbuf, ins, Lrr))
-    np.asarray(d[4])
+    d_ops, d_starts, d_bb, d_ins, d_Lr = (
+        jax.device_put(np.asarray(a)) for a in (ops, starts, bbuf, ins, Lrr)
+    )
+
+    @jax.jit
+    def front(ops, starts, bb, ins_base, Lr):
+        dec = dj.decode_columns(ops, starts, caps)
+        cov_, matches = dj.coverage_and_matches(ops, starts, dec, caps)
+        mtab = dj.matched_positions(ops, dec, starts, Lr, caps)
+        chains = dj.extract_chains(ops, starts, ins_base, dec, mtab[0], Lr, caps)
+        trans = dj.transitions_table(dec, mtab, chains, starts, Lr, caps)
+        absb = dj.apply_absorption(chains, trans, bb, Lr, caps)
+        fc = {
+            "valid": absb["valid"].reshape(caps.B, -1),
+            "p": absb["p"], "t": absb["t"], "len": absb["len"],
+            "rev_ba": absb["rev_ba"],
+            "read": absb["read"], "phase": absb["phase"], "seq": absb["seq"],
+        }
+        tri = dj.build_tries(fc, Lr, caps)
+        linz = dj.linearize_and_band(
+            tri, fc, absb, trans, cov_, matches, bb, Lr, caps
+        )
+        return linz, absb, trans, cov_, matches
+
+    linz, absb, trans, cov_, matches = jax.block_until_ready(
+        front(d_ops, d_starts, d_bb, d_ins, d_Lr)
+    )
 
     def chks(tree):
         leaves = jax.tree_util.tree_leaves(tree)
@@ -79,61 +101,24 @@ def main() -> int:
             if jnp.issubdtype(l.dtype, jnp.number) or l.dtype == bool
         )
 
-    def upto(k, ops, starts, bb, ins_base, Lr):
-        dec = dj.decode_columns(ops, starts, caps)
-        if k == 0:
-            return chks(dec)
-        cov_, matches = dj.coverage_and_matches(ops, starts, dec, caps)
-        if k == 1:
-            return chks((cov_, matches))
-        mtab = dj.matched_positions(ops, dec, starts, Lr, caps)
-        if k == 2:
-            return chks(mtab)
-        chains = dj.extract_chains(ops, starts, ins_base, dec, mtab[0], Lr, caps)
-        if k == 3:
-            return chks(chains)
-        trans = dj.transitions_table(dec, mtab, chains, starts, Lr, caps)
-        if k == 4:
-            return chks(trans)
-        absb = dj.apply_absorption(chains, trans, bb, Lr, caps)
-        if k == 5:
-            return chks(absb)
-        fc = {
-            "valid": absb["valid"].reshape(caps.B, -1),
-            "p": absb["p"], "t": absb["t"], "len": absb["len"],
-            "rev_ba": absb["rev_ba"],
-            "read": absb["read"], "phase": absb["phase"], "seq": absb["seq"],
-        }
-        tri = dj.build_tries(fc, Lr, caps)
-        if k == 6:
-            return chks(tri)
-        linz = dj.linearize_and_band(
-            tri, fc, absb, trans, cov_, matches, bb, Lr, caps
-        )
-        if k == 7:
-            return chks(linz)
-        out = dj.assemble_band(linz, absb, trans, cov_, matches, bb, Lr, caps)
-        return chks(out)
-
-    names = [
-        "decode_columns", "coverage_and_matches", "matched_positions",
-        "extract_chains", "transitions_table", "apply_absorption",
-        "build_tries", "linearize_and_band", "assemble_band",
-    ]
     prev = 0.0
-    for k in range(9):
-        f = jax.jit(functools.partial(upto, k))
+    for k in [1, 2, 3, 4, 5, 6, 0]:
+        f = jax.jit(
+            lambda lz, ab, tr, cv, mt, bb, lr, k=k: chks(
+                dj.assemble_band(lz, ab, tr, cv, mt, bb, lr, caps, _upto=k)
+            )
+        )
         t0 = time.time()
-        np.asarray(f(*d))
+        np.asarray(f(linz, absb, trans, cov_, matches, d_bb, d_Lr))
         t_compile = time.time() - t0
         t0 = time.time()
-        reps = 2
+        reps = 3
         for _ in range(reps):
-            np.asarray(f(*d))
+            np.asarray(f(linz, absb, trans, cov_, matches, d_bb, d_Lr))
         dt = (time.time() - t0) / reps
         print(
-            f"prefix {k} ({names[k]}): {dt*1000:7.0f} ms "
-            f"(+{(dt-prev)*1000:6.0f} ms)  [compile {t_compile:.0f}s]",
+            f"assemble upto {k}: {dt*1000:7.0f} ms (+{(dt-prev)*1000:6.0f} ms)"
+            f"  [compile {t_compile:.0f}s]",
             file=sys.stderr, flush=True,
         )
         prev = dt
