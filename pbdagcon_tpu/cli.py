@@ -226,8 +226,14 @@ def main(argv: list[str] | None = None) -> int:
 
         profiler_cm = jax.profiler.trace(args.profile_dir)
         profiler_cm.__enter__()
+    import time as _time
+
+    _t0 = _time.time()
     try:
         run_stream(stream, writer, cfg, journal=journal)
+        print(
+            f"proc_time={_time.time() - _t0:.3f}s", file=sys.stderr
+        )
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
