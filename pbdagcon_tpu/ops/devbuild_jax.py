@@ -1342,13 +1342,12 @@ def assemble_band(
         [lin_shift(dq) for dq in range(2, DQ + 1)], axis=1
     )  # [B, DQ-1, L+2]
     pa_t = jnp.moveaxis(packed_all, 2, 1)  # [B, DQ, L+2]
+    # NOTE: the index must keep its size-1 middle dim — an explicit
+    # broadcast_to hides the shared-index structure from XLA and forces
+    # the ~50x slower elementwise gather path (measured).
     picb = pic[:, None, :]
-    qlin_v = jnp.take_along_axis(
-        qlin_all, jnp.broadcast_to(picb, (B, DQ - 1, V)), axis=2
-    )
-    pk_v = jnp.take_along_axis(
-        pa_t, jnp.broadcast_to(picb, (B, DQ, V)), axis=2
-    )
+    qlin_v = jnp.take_along_axis(qlin_all, picb, axis=2)
+    pk_v = jnp.take_along_axis(pa_t, picb, axis=2)
     for dq in range(2, DQ + 1):
         qlin = qlin_v[:, dq - 2, :]
         pk = pk_v[:, dq - 1, :]
@@ -1461,7 +1460,7 @@ def assemble_band(
     t_ok = (
         (lo_p[:, None, :] + si_ar < hi_p[:, None, :]).astype(jnp.int8)
     )
-    picb2 = jnp.broadcast_to(pic[:, None, :], (B, SE, V))
+    picb2 = pic[:, None, :]  # size-1 dim: keeps the gather vectorized
     nc_v = jnp.take_along_axis(t_nc, picb2, axis=2)
     k_v = jnp.take_along_axis(t_k, picb2, axis=2)
     ok_v = jnp.take_along_axis(t_ok, picb2, axis=2) > 0
