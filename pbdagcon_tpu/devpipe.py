@@ -415,6 +415,32 @@ def run_devbuild_native(
     )
     dcfg = DevCapsConfig()
 
+    # Three dispatches per batch (build / DP / backtrack), NOT one fused
+    # program: fusing them holds every build intermediate plus the
+    # [B, V, W] bands live in one program and spills HBM — catastrophic
+    # through a 45 MB/s tunnel (measured 38k -> 11k b/s). Separate
+    # programs free each stage's intermediates at its boundary.
+    def full_step_fn(caps, P):
+        def step(ops, starts, bbuf, ins, Lr, mw):
+            build = device_build(ops, starts, bbuf, ins, Lr, caps)
+            scores = dp_scores(
+                build["win"], build["exit_cnt"], build["cov"],
+                build["unsup"], build["long_u"], build["long_w"],
+                build["long_esc"],
+            )
+            emit = devemit.backtrack_emit(build, scores, mw, P)
+            return {
+                "flags": build["flags"],
+                "ambiguous": emit["ambiguous"],
+                "overflow": emit["overflow"],
+                "bases": emit["bases"],
+                "kept": emit["kept"],
+                "bbpos": emit["bbpos"],
+                "path_len": emit["path_len"],
+            }
+
+        return step
+
     def chunks():
         if hasattr(stream, "read"):
             while True:
@@ -465,6 +491,29 @@ def run_devbuild_native(
             for i in fallback:
                 stats.host_fallbacks += 1
                 texts[i] = eng.enc_consensus(i)
+            # In-flight queue: submit batches asynchronously (the next
+            # batch's host encode + upload overlap the device's work on
+            # the previous one), drain with one batch still in flight.
+            inflight: list[tuple[list[int], dict]] = []
+            depth = int(_os.environ.get("DAGCON_INFLIGHT", "2"))
+
+            def drain(all_batches: bool) -> None:
+                while inflight and (all_batches or len(inflight) >= depth):
+                    pt, dev = inflight.pop(0)
+                    o = {k: np.asarray(v) for k, v in dev.items()}
+                    for j, i in enumerate(pt):
+                        if o["flags"][j] or o["ambiguous"][j] or (
+                            o["overflow"][j]
+                        ):
+                            stats.host_fallbacks += 1
+                            texts[i] = eng.enc_consensus(i)
+                        else:
+                            res = devemit.assemble_fragments(
+                                o["bases"][j], o["kept"][j], o["bbpos"][j],
+                                int(o["path_len"][j]), cfg.min_length,
+                            )
+                            texts[i] = format_fasta(eng.enc_sid(i), res)
+
             for (Rb, Cb, Lb), idxs in buckets.items():
                 sub = metas[idxs]
                 caps = caps_for(
@@ -482,43 +531,22 @@ def run_devbuild_native(
                     stats.host_fallbacks += 1
                     texts[i] = eng.enc_consensus(i)
                 idxs = [i for i in idxs if int(metas[i, 3]) <= NI]
+                P = min(caps.V, 2 * caps.L + 64)
+                step = full_step_fn(caps, P)
                 for lo in range(0, len(idxs), caps.B):
                     part = idxs[lo : lo + caps.B]
                     ops, starts, bbuf, ins, Lrr = eng.enc_fill(
                         part, caps.R, caps.C, caps.L, NI, B=caps.B
                     )
-                    build = device_build(
+                    dev = step(
                         jnp.asarray(ops), jnp.asarray(starts),
                         jnp.asarray(bbuf), jnp.asarray(ins),
-                        jnp.asarray(Lrr), caps,
-                    )
-                    scores = dp_scores(
-                        build["win"], build["exit_cnt"], build["cov"],
-                        build["unsup"], build["long_u"], build["long_w"],
-                        build["long_esc"],
-                    )
-                    P = min(caps.V, 2 * caps.L + 64)
-                    emit = devemit.backtrack_emit(
-                        build, scores, jnp.int32(cfg.min_weight), P
+                        jnp.asarray(Lrr), jnp.int32(cfg.min_weight),
                     )
                     stats.batches += 1
-                    flags = np.asarray(build["flags"])
-                    amb = np.asarray(emit["ambiguous"])
-                    ovf = np.asarray(emit["overflow"])
-                    bases = np.asarray(emit["bases"])
-                    kept = np.asarray(emit["kept"])
-                    bbpos = np.asarray(emit["bbpos"])
-                    plen = np.asarray(emit["path_len"])
-                    for j, i in enumerate(part):
-                        if flags[j] or amb[j] or ovf[j]:
-                            stats.host_fallbacks += 1
-                            texts[i] = eng.enc_consensus(i)
-                        else:
-                            res = devemit.assemble_fragments(
-                                bases[j], kept[j], bbpos[j],
-                                int(plen[j]), cfg.min_length,
-                            )
-                            texts[i] = format_fasta(eng.enc_sid(i), res)
+                    inflight.append((part, dev))
+                    drain(all_batches=False)
+            drain(all_batches=True)
             for i in range(count):
                 text = texts.get(i, "")
                 if text:
