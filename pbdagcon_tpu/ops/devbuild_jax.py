@@ -910,7 +910,7 @@ KEY_UNCERTAIN = jnp.int32(1 << 30)
 
 
 def linearize_and_band(
-    tri, fc, absb, trans, cov, matches, bb, Lr, caps: Caps
+    tri, fc, absb, trans, cov, matches, bb, Lr, caps: Caps, _upto: int = 0
 ):
     """Assemble the banded linear graph on device.
 
@@ -954,6 +954,8 @@ def linearize_and_band(
     comp_valid = ck_s[:, :ND] == 0
     over_nd = n_nodes > ND
 
+    if _upto == 1:
+        return {"comp_idx": comp_idx, "comp_valid": comp_valid}
     ct = jnp.where(
         comp_valid,
         jnp.take_along_axis(s["t"], comp_idx // SM, axis=-1),
@@ -1001,6 +1003,9 @@ def linearize_and_band(
         axis=-1,
     )
 
+    if _upto == 2:
+        return {"nnid": nnid, "npar": npar, "nw": nw, "nbase": nbase,
+                "svw": svw, "nanch": nanch}
     # linear index of trie node at table rank k: k + (t - 1).
     rank = jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))
     lin_trie = jnp.where(nvalid_t, rank + nt - 1, jnp.int32(1 << 28))
@@ -1037,6 +1042,9 @@ def linearize_and_band(
     )
     pre_rank = inv2  # aligned with table rows
 
+    if _upto == 3:
+        return {"lin_bb_full": lin_bb_full, "pre_rank": pre_rank,
+                "n_total": n_total}
     # parent lin per node: depth 1 -> backbone t (or exit), else via nid.
     is_exit_parent = (nd_ == 1) & (nt == Lr[:, None] + 1)
     par_bb = jnp.take_along_axis(
@@ -1061,6 +1069,8 @@ def linearize_and_band(
     for d in range(2, SM + 1):
         deep_nid = jnp.where(clen == d, tri["nid"][..., d - 1], deep_nid)
     deep_lin = lin_of_nid(jnp.clip(deep_nid, 0, ND - 1))
+    if _upto == 4:
+        return {"par_lin": par_lin, "deep_lin": deep_lin}
     se_key_p = jnp.where(cvalid, s["p"], jnp.int32(1 << 20))
     se_key_n = jnp.where(cvalid, deep_lin, jnp.int32(1 << 28))
     # payload: phase(1b) | read(13b) | sorted-chain index(14b), i32.
@@ -1097,14 +1107,14 @@ def linearize_and_band(
     se_bnd = uniq | se_invalid
     ph_sorted = spay_ >> 27
     se_anystrip = -_seg_run_min(-ph_sorted, se_bnd) > 0
-    # min read among ALL contributing chains (segmented min of read).
-    rd_sorted = jnp.take_along_axis(
-        s["read"],
-        jnp.clip(spay_ & ((1 << 14) - 1), 0, N - 1),
-        axis=-1,
-    )
+    # min read among ALL contributing chains: the read rides bits 14..26
+    # of the payload, so no gather is needed.
+    rd_sorted = (spay_ >> 14) & ((1 << 13) - 1)
     se_minrd = _seg_run_min(rd_sorted, se_bnd)
 
+    if _upto == 5:
+        return {"uniq": uniq, "se_count": se_count,
+                "se_anystrip": se_anystrip, "se_minrd": se_minrd}
     # node survivor info for the key phase decision, via ONE node-table
     # lookup by lin (lin_trie ascending) and two packed field words.
     sn_clip = jnp.where(uniq, sn_, 0)
@@ -1115,21 +1125,20 @@ def linearize_and_band(
     w1 = (
         ((nsvlen == nd_).astype(I32) << 25) | (nsvp << 10) | nsvrd
     )
-    # w2: pre_rank(14b @15) | min(t, L+1)(15b)
-    w2 = (pre_rank << 15) | jnp.minimum(nt, jnp.int32(L + 1))
+    # w2: uncertain-t(1b @29) | pre_rank(14b @15) | spare(15b); the
+    # per-node strip_t flag is gathered once in table space ([B, ND])
+    # and rides the packed word instead of a second [B, N] gather.
+    unc_node = jnp.take_along_axis(
+        absb["strip_t"], jnp.clip(nt, 0, L + 1), axis=-1
+    )
+    w2 = (unc_node.astype(I32) << 29) | (pre_rank << 15)
     g1 = jnp.take_along_axis(w1, qc, axis=-1)
     g2w = jnp.take_along_axis(w2, qc, axis=-1)
     nd_first_deep = g1 >> 25
     nd_first_p = (g1 >> 10) & ((1 << 15) - 1)
     nd_first_rd = g1 & ((1 << 10) - 1)
-    nd_pre = g2w >> 15
-    nd_t = g2w & ((1 << 15) - 1)
-    unc_t_tbl = jnp.concatenate(
-        [absb["strip_t"], jnp.zeros((B, 1), bool)], axis=-1
-    )
-    nd_unc = jnp.take_along_axis(
-        unc_t_tbl[:, : L + 2], jnp.clip(nd_t, 0, L + 1), axis=-1
-    )
+    nd_pre = (g2w >> 15) & ((1 << 14) - 1)
+    nd_unc = (g2w >> 29) > 0
     threaded = (nd_first_deep == 1) & (nd_first_p == sp_)
     se_key = jnp.where(
         threaded,
