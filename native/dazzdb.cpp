@@ -49,10 +49,13 @@ struct Db {
 
 struct Ovl {
   int32_t aread, bread, comp, abpos, aepos, bbpos, bepos, diffs;
+  int32_t toff, tpairs;  // into Las::trace (already widened to u16)
 };
 
 struct Las {
   std::vector<Ovl> ovls;
+  std::vector<uint16_t> trace;  // (d, y) pairs, flattened
+  int32_t tspace;
 };
 
 static bool read_file(const std::string& path, std::vector<uint8_t>& out) {
@@ -155,6 +158,7 @@ void* las_open(const char* path) {
   if (novl < 0) return nullptr;
   size_t tbytes = tspace <= 125 ? 1 : 2;
   Las* las = new Las();
+  las->tspace = tspace;
   las->ovls.reserve((size_t)novl);
   size_t off = kLasHeader;
   for (int64_t i = 0; i < novl; ++i) {
@@ -176,14 +180,50 @@ void* las_open(const char* path) {
     memcpy(&o.aread, r + 28, 4);
     memcpy(&o.bread, r + 32, 4);
     o.comp = (flags & kCompFlag) ? 1 : 0;
-    off += kOvlRec + (size_t)tlen * tbytes;
-    if (off > buf.size()) {
+    if (off + kOvlRec + (size_t)tlen * tbytes > buf.size() || tlen < 0) {
       delete las;
       return nullptr;
     }
+    // Decode trace values (tlen values = tlen/2 (d, y) pairs; u8 for
+    // tspace <= 125, else u16 little-endian) — the align.c trace
+    // decoding capability (SURVEY.md §2 C9).
+    const uint8_t* tp = r + kOvlRec;
+    o.toff = (int32_t)las->trace.size();
+    o.tpairs = tlen / 2;
+    for (int32_t k = 0; k < tlen; ++k) {
+      uint16_t v;
+      if (tbytes == 1) {
+        v = tp[k];
+      } else {
+        memcpy(&v, tp + 2 * k, 2);
+      }
+      las->trace.push_back(v);
+    }
+    off += kOvlRec + (size_t)tlen * tbytes;
     las->ovls.push_back(o);
   }
   return las;
+}
+
+// tspace of an open .las (trace-point spacing on the A read).
+int las_tspace(void* h) { return (int)((dazz::Las*)h)->tspace; }
+
+// Number of (diffs, b-advance) trace pairs for overlap i (-1 if oob).
+int las_trace_len(void* h, long i) {
+  dazz::Las* las = (dazz::Las*)h;
+  if (i < 0 || i >= (long)las->ovls.size()) return -1;
+  return las->ovls[(size_t)i].tpairs;
+}
+
+// Fill out[2 * tpairs] with the decoded (d, y) trace values of
+// overlap i; returns pair count or -1.
+int las_trace(void* h, long i, int32_t* out) {
+  dazz::Las* las = (dazz::Las*)h;
+  if (i < 0 || i >= (long)las->ovls.size()) return -1;
+  const dazz::Ovl& o = las->ovls[(size_t)i];
+  for (int32_t k = 0; k < 2 * o.tpairs; ++k)
+    out[k] = las->trace[(size_t)o.toff + k];
+  return o.tpairs;
 }
 
 void las_close(void* h) { delete (dazz::Las*)h; }

@@ -32,7 +32,9 @@ _B2 = {"A": 0, "C": 1, "G": 2, "T": 3}
 @dataclasses.dataclass(frozen=True)
 class Overlap:
     """One .las overlap: A-read is the target, B-read the query;
-    `comp` set means B aligns reverse-complemented."""
+    `comp` set means B aligns reverse-complemented. `trace`, when
+    decoded, is the DALIGNER trace-point sequence: one (diffs,
+    b-advance) pair per tspace-wide A segment."""
 
     aread: int
     bread: int
@@ -42,6 +44,7 @@ class Overlap:
     bbpos: int
     bepos: int
     diffs: int
+    trace: tuple[tuple[int, int], ...] | None = None
 
 
 def _lib():
@@ -68,6 +71,12 @@ def _lib():
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.las_overlaps.restype = ctypes.c_int
         lib.las_overlaps.argtypes = [ctypes.c_void_p] + [i32p] * 8
+        lib.las_tspace.restype = ctypes.c_int
+        lib.las_tspace.argtypes = [ctypes.c_void_p]
+        lib.las_trace_len.restype = ctypes.c_int
+        lib.las_trace_len.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.las_trace.restype = ctypes.c_int
+        lib.las_trace.argtypes = [ctypes.c_void_p, ctypes.c_long, i32p]
         lib.dazz_open._configured = True
     return lib
 
@@ -107,9 +116,12 @@ class DazzDb:
         return buf.raw[:n].decode()
 
 
-def read_las(path: str) -> list[Overlap]:
-    """All overlaps of a .las file (trace points skipped; dazcon
-    re-aligns from raw sequences)."""
+def read_las(path: str, with_traces: bool = False) -> list[Overlap]:
+    """All overlaps of a .las file. With `with_traces`, each overlap
+    carries its decoded (diffs, b-advance) trace-point pairs (u8 for
+    tspace <= 125, u16 otherwise — the align.c decoding, SURVEY.md §2
+    C9); dazcon itself re-aligns from raw sequences and does not need
+    them."""
     lib = _lib()
     h = lib.las_open(path.encode())
     if not h:
@@ -121,14 +133,40 @@ def read_las(path: str) -> list[Overlap]:
             h, *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
                  for a in arrs]
         )
-        return [
-            Overlap(
-                int(arrs[0][i]), int(arrs[1][i]), bool(arrs[2][i]),
-                int(arrs[3][i]), int(arrs[4][i]), int(arrs[5][i]),
-                int(arrs[6][i]), int(arrs[7][i]),
+        out = []
+        for i in range(n):
+            trace = None
+            if with_traces:
+                npairs = int(lib.las_trace_len(h, i))
+                buf = np.zeros(max(1, 2 * npairs), dtype=np.int32)
+                lib.las_trace(
+                    h, i,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
+                trace = tuple(
+                    (int(buf[2 * k]), int(buf[2 * k + 1]))
+                    for k in range(npairs)
+                )
+            out.append(
+                Overlap(
+                    int(arrs[0][i]), int(arrs[1][i]), bool(arrs[2][i]),
+                    int(arrs[3][i]), int(arrs[4][i]), int(arrs[5][i]),
+                    int(arrs[6][i]), int(arrs[7][i]), trace,
+                )
             )
-            for i in range(n)
-        ]
+        return out
+    finally:
+        lib.las_close(h)
+
+
+def las_tspace(path: str) -> int:
+    """Trace-point spacing of a .las file."""
+    lib = _lib()
+    h = lib.las_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open .las {path!r}")
+    try:
+        return int(lib.las_tspace(h))
     finally:
         lib.las_close(h)
 
@@ -170,14 +208,17 @@ def write_dazz_db(path: str, seqs: list[str]) -> None:
 
 
 def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:
-    """Write a .las file (empty trace blocks) in the documented layout."""
+    """Write a .las file in the documented layout, including each
+    overlap's trace block (u8 values for tspace <= 125, else u16)."""
+    tbytes = 1 if tspace <= 125 else 2
     out = bytearray()
     out += struct.pack("<q", len(overlaps))
     out += struct.pack("<i", tspace)
     out += b"\0" * (_LAS_HEADER - 12)
     for o in overlaps:
+        trace = o.trace or ()
         rec = bytearray(_OVL_REC)
-        struct.pack_into("<i", rec, 0, 0)  # tlen = 0 (no trace)
+        struct.pack_into("<i", rec, 0, 2 * len(trace))  # tlen = #values
         struct.pack_into("<i", rec, 4, o.diffs)
         struct.pack_into("<i", rec, 8, o.abpos)
         struct.pack_into("<i", rec, 12, o.aepos)
@@ -187,5 +228,12 @@ def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:
         struct.pack_into("<i", rec, 28, o.aread)
         struct.pack_into("<i", rec, 32, o.bread)
         out += rec
+        for d, y in trace:
+            if tbytes == 1:
+                out += struct.pack("<B", d)
+                out += struct.pack("<B", y)
+            else:
+                out += struct.pack("<H", d)
+                out += struct.pack("<H", y)
     with open(path, "wb") as f:
         f.write(out)

@@ -97,3 +97,44 @@ def test_dazcon_container_frontend(tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert r1.stdout == r2.stdout
     assert r1.stdout.startswith(">0\n")
+
+
+def test_las_trace_roundtrip_u8(tmp_path):
+    """Trace-point decoding (align.c capability): u8 traces round-trip
+    through write_las/read_las at tspace <= 125."""
+    from pbdagcon_tpu.dazzio import Overlap, las_tspace, read_las, write_las
+
+    ovls = [
+        Overlap(0, 1, False, 0, 250, 3, 259, 9,
+                trace=((4, 98), (3, 101), (2, 55))),
+        Overlap(0, 2, True, 100, 180, 0, 83, 4, trace=((4, 83),)),
+        Overlap(1, 2, False, 5, 20, 1, 17, 0, trace=()),
+    ]
+    path = str(tmp_path / "t8.las")
+    write_las(path, ovls, tspace=100)
+    assert las_tspace(path) == 100
+    got = read_las(path, with_traces=True)
+    assert [o.trace for o in got] == [o.trace for o in ovls]
+    assert [(o.aread, o.bread, o.diffs) for o in got] == [
+        (o.aread, o.bread, o.diffs) for o in ovls
+    ]
+    # default read skips traces but must still parse records correctly
+    plain = read_las(path)
+    assert [(o.abpos, o.aepos) for o in plain] == [
+        (o.abpos, o.aepos) for o in ovls
+    ]
+
+
+def test_las_trace_roundtrip_u16(tmp_path):
+    """u16 traces (tspace > 125) with values beyond the u8 range."""
+    from pbdagcon_tpu.dazzio import Overlap, las_tspace, read_las, write_las
+
+    ovls = [
+        Overlap(2, 7, True, 0, 3000, 0, 3100, 40,
+                trace=((30, 1020), (17, 995), (25, 1085))),
+    ]
+    path = str(tmp_path / "t16.las")
+    write_las(path, ovls, tspace=1000)
+    assert las_tspace(path) == 1000
+    got = read_las(path, with_traces=True)
+    assert got[0].trace == ovls[0].trace
