@@ -250,12 +250,17 @@ def _pad_b(batch: dict) -> dict:
 def _compress_scores(s: jax.Array):
     """Delta-compress [B, V] f32 scores for the slow device->host link.
 
-    Scores are exact multiples of 0.5 (SPEC §2.6 arithmetic), and
-    consecutive linear nodes differ by small amounts, so the per-row
-    stream (s[0], int8 deltas in half-units) reconstructs bitwise
-    exactly — 4x less fetch traffic. Rows where any delta overflows
-    int8, is non-integral (f32 rounding kicked in), or where -inf
-    appears outside a suffix (padding) are flagged for full-row fetch.
+    Scores are exact multiples of 0.5 (SPEC §2.6 arithmetic), so the
+    per-row stream (s[0], int16 deltas in half-units) reconstructs
+    bitwise exactly — 2x less fetch traffic than raw f32. int16 (not
+    int8): adjacent linear nodes routinely sit on different branches
+    whose cumulative path scores differ by hundreds of half-units
+    (measured p50 of per-row max |2*delta| is ~1100 on the bench
+    workload), so int8 flagged ~every row and the fallback refetched
+    full f32 scores, tripling fetch traffic. Rows where a delta
+    overflows int16, is non-integral (f32 rounding kicked in), or where
+    -inf appears outside a suffix (padding) are flagged and fetched
+    individually by `_decode_packed`.
     """
     d2 = 2.0 * (s[:, :-1] - s[:, 1:])
     fin = jnp.isfinite(s)
@@ -263,46 +268,64 @@ def _compress_scores(s: jax.Array):
     d2 = jnp.where(both, d2, 0.0)
     h0 = 2.0 * s[:, 0]
     ok = (
-        jnp.all(jnp.abs(d2) <= 127.0, axis=1)
+        jnp.all(jnp.abs(d2) <= 32767.0, axis=1)
         & jnp.all(d2 == jnp.round(d2), axis=1)
         & fin[:, 0]
         & (h0 == jnp.round(h0))  # s[0] itself must be a half-integer
         & jnp.all(fin[:, :-1] | ~fin[:, 1:], axis=1)  # -inf only as suffix
     )
-    # Single-buffer wire format (one fetch round trip — the tunnel has
-    # ~30ms fixed cost per transfer): per row, 4 bytes s[0] bitcast,
-    # 1 byte ok flag, then V-1 delta bytes.
-    s0_bytes = jax.lax.bitcast_convert_type(
-        s[:, 0:1], jnp.uint8
-    ).reshape(s.shape[0], 4)
-    d8u = jax.lax.bitcast_convert_type(d2.astype(jnp.int8), jnp.uint8)
+    # Batch-padding rows are all -inf; encode them as ok (whole-row
+    # suffix from position 0) so they never trigger a fetch round trip.
+    ok = ok | ~jnp.any(fin, axis=1)
+    # Single-buffer int16 wire (one fetch round trip — the tunnel has
+    # ~30ms fixed cost per transfer): per row, s[0] bitcast to two
+    # int16, one ok flag, then V-1 int16 deltas.
+    s0_i16 = jax.lax.bitcast_convert_type(
+        s[:, 0:1], jnp.int16
+    ).reshape(s.shape[0], 2)
     packed = jnp.concatenate(
-        [s0_bytes, ok[:, None].astype(jnp.uint8), d8u], axis=1
+        [s0_i16, ok[:, None].astype(jnp.int16), d2.astype(jnp.int16)],
+        axis=1,
     )
     return packed
 
 
+def _decode_packed(p: np.ndarray, fetch_rows) -> np.ndarray:
+    """Reconstruct exact f32 scores from the int16 wire stream
+    ([B, 3 + V-1]: s0 bitcast, ok flag, half-unit deltas). Rows whose
+    compression was flagged are fetched individually via
+    `fetch_rows(bad_indices) -> [len(bad), V] f32`."""
+    ok = p[:, 2] != 0
+    s0 = p[:, 0:2].copy().view(np.float32).reshape(-1)
+    d = p[:, 3:]
+    neg = ~np.isfinite(s0)  # all--inf padding rows (encoded ok)
+    h0 = np.where(neg, 0.0, 2.0 * s0.astype(np.float64))
+    h = h0.astype(np.int64)[:, None]
+    h = h - np.cumsum(d.astype(np.int64), axis=1)
+    s = np.empty((p.shape[0], d.shape[1] + 1), np.float32)
+    s[:, 0] = s0
+    s[:, 1:] = h.astype(np.float64) / 2.0
+    if neg.any():
+        s[neg] = s0[neg, None]
+    if not ok.all():
+        bad = np.nonzero(~ok)[0]
+        s[bad] = fetch_rows(bad)
+    return s
+
+
 class _CompressedScores:
     """np.asarray()-able future that reconstructs exact scores from the
-    packed stream (full fetch only if some row was flagged)."""
+    packed stream (per-row device fetch for flagged rows)."""
 
     def __init__(self, s_dev, packed):
         self._s_dev = s_dev
         self._packed = packed
 
     def __array__(self, dtype=None, copy=None):
-        p = np.asarray(self._packed)  # [B, 5 + V-1] uint8
-        ok = p[:, 4] != 0
-        if not ok.all():
-            s = np.asarray(self._s_dev)
-        else:
-            s0 = p[:, 0:4].copy().view(np.float32).reshape(-1)
-            d8 = p[:, 5:].view(np.int8)
-            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
-            h = h - np.cumsum(d8.astype(np.int64), axis=1)
-            s = np.empty((p.shape[0], d8.shape[1] + 1), np.float32)
-            s[:, 0] = s0
-            s[:, 1:] = h.astype(np.float64) / 2.0
+        s = _decode_packed(
+            np.asarray(self._packed),
+            lambda bad: np.asarray(self._s_dev[bad]),
+        )
         return s if dtype is None else s.astype(dtype)
 
 
@@ -573,25 +596,17 @@ def submit_arena_scores(
 class _PackedFuture:
     """np.asarray()-able future over a packed compressed-score stream;
     `full_fn` produces the full-precision device scores for the rare
-    flagged rows."""
+    flagged rows (fetched individually)."""
 
     def __init__(self, packed, full_fn):
         self._packed = packed
         self._full_fn = full_fn
 
     def __array__(self, dtype=None, copy=None):
-        p = np.asarray(self._packed)
-        ok = p[:, 4] != 0
-        if not ok.all():
-            s = np.asarray(self._full_fn())
-        else:
-            s0 = p[:, 0:4].copy().view(np.float32).reshape(-1)
-            d8 = p[:, 5:].view(np.int8)
-            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
-            h = h - np.cumsum(d8.astype(np.int64), axis=1)
-            s = np.empty((p.shape[0], d8.shape[1] + 1), np.float32)
-            s[:, 0] = s0
-            s[:, 1:] = h.astype(np.float64) / 2.0
+        s = _decode_packed(
+            np.asarray(self._packed),
+            lambda bad: np.asarray(self._full_fn()[bad]),
+        )
         return s if dtype is None else s.astype(dtype)
 
 
@@ -604,26 +619,17 @@ class _EdgesScores:
         self._dims = dims
 
     def __array__(self, dtype=None, copy=None):
-        p = np.asarray(self._packed)
-        ok = p[:, 4] != 0
-        if not ok.all():
-            # Rare: rebuild dense args on host is impossible here (CSR
-            # only on device) — re-run the scan on device and fetch the
-            # full scores for exactness.
+        def fetch_rows(bad):
+            # Rare: rebuilding dense args on host is impossible here
+            # (CSR only on device) — re-run the scan on device and
+            # fetch the flagged rows for exactness.
             B, V, W, K, E, X = self._dims
-            s = np.asarray(
-                _dp_scores_edges_uncompressed(
-                    self._arena, B=B, V=V, W=W, K=K, E=E, X=X
-                )
+            full = _dp_scores_edges_uncompressed(
+                self._arena, B=B, V=V, W=W, K=K, E=E, X=X
             )
-        else:
-            s0 = p[:, 0:4].copy().view(np.float32).reshape(-1)
-            d8 = p[:, 5:].view(np.int8)
-            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
-            h = h - np.cumsum(d8.astype(np.int64), axis=1)
-            s = np.empty((p.shape[0], d8.shape[1] + 1), np.float32)
-            s[:, 0] = s0
-            s[:, 1:] = h.astype(np.float64) / 2.0
+            return np.asarray(full[bad])
+
+        s = _decode_packed(np.asarray(self._packed), fetch_rows)
         return s if dtype is None else s.astype(dtype)
 
 
@@ -644,20 +650,12 @@ class _ArenaScores:
         self._dims = (B, V, W, K)
 
     def __array__(self, dtype=None, copy=None):
-        p = np.asarray(self._packed)
-        ok = p[:, 4] != 0
-        if not ok.all():
+        def fetch_rows(bad):
             B, V, W, K = self._dims
             args = _unpack_arena(self._arena, B, V, W, K)
-            s = np.asarray(dp_scores(*args))
-        else:
-            s0 = p[:, 0:4].copy().view(np.float32).reshape(-1)
-            d8 = p[:, 5:].view(np.int8)
-            h = (2.0 * s0.astype(np.float64)).astype(np.int64)[:, None]
-            h = h - np.cumsum(d8.astype(np.int64), axis=1)
-            s = np.empty((p.shape[0], d8.shape[1] + 1), np.float32)
-            s[:, 0] = s0
-            s[:, 1:] = h.astype(np.float64) / 2.0
+            return np.asarray(dp_scores(*args)[bad])
+
+        s = _decode_packed(np.asarray(self._packed), fetch_rows)
         return s if dtype is None else s.astype(dtype)
 
 

@@ -315,7 +315,7 @@ def _run_stream_native(
         _os.environ.get("DAGCON_CHUNK_MB", str(cfg.chunk_mb))
     ) << 20
 
-    def chunks() -> Iterator[tuple[bytes, bool]]:
+    def chunks(chunk_bytes: int = chunk_bytes) -> Iterator[tuple[bytes, bool]]:
         if hasattr(stream, "read"):
             while True:
                 buf = stream.read(chunk_bytes)  # type: ignore[union-attr]
@@ -408,22 +408,33 @@ def _run_stream_native(
                     part_cap = max(
                         (b for b in _B_LADDER if b <= raw_cap), default=32
                     )
-                    for j0 in range(0, len(idxs), part_cap):
-                        part = idxs[j0 : j0 + part_cap]
-                        # Pad to the next ladder size (few compiled
-                        # shapes, little padded compute), capped so no
-                        # transfer can exceed the link's hang threshold.
-                        b_pad = min(
-                            part_cap,
-                            next(
-                                (
-                                    b
-                                    for b in _B_LADDER
-                                    if b >= len(part)
-                                ),
-                                len(part),
-                            ),
-                        )
+                    # Ladder decomposition balancing two real costs on
+                    # the link: padded rows are wasted upload bytes
+                    # (~1ms per row), but every extra dispatch pays a
+                    # fixed round-trip cost (~100ms measured through
+                    # the tunnel). So: take largest-ladder parts while
+                    # >= 128 targets remain, then pad the remainder up
+                    # one ladder step — at most ~127 wasted rows, and
+                    # a 154-target chunk uploads 128+32 rows instead
+                    # of 256, in two dispatches instead of five.
+                    parts: list[tuple[list[int], int]] = []
+                    j0 = 0
+                    while j0 < len(idxs):
+                        rem = len(idxs) - j0
+                        if rem >= min(128, part_cap):
+                            take = max(
+                                b for b in _B_LADDER
+                                if b <= min(rem, part_cap)
+                            )
+                            parts.append((idxs[j0 : j0 + take], take))
+                            j0 += take
+                        else:
+                            b = next(
+                                bb for bb in _B_LADDER if bb >= rem
+                            )
+                            parts.append((idxs[j0:], min(b, part_cap)))
+                            j0 = len(idxs)
+                    for part, b_pad in parts:
                         import os as _os
 
                         if backend == "xla" and (
@@ -465,9 +476,11 @@ def _run_stream_native(
                 "futures": futures,
             }
 
-        def emit_chunk(work: dict) -> None:
-            # The chunk's targets sit at retained indices 0..count-1 by
-            # the time we emit (previous chunks already cleared).
+        def emit_chunk(work: dict, idx_lock) -> None:
+            # Materialize device scores (slow fetch — outside the index
+            # lock), then emit. The work's targets sit at retained
+            # indices 0..count-1 by emission time (works are emitted in
+            # submit order and each clears its own targets).
             ns = work["ns"]
             scores = work["scores"]
             for idxs, fut in work["futures"]:
@@ -478,73 +491,137 @@ def _run_stream_native(
                     full[:n] = sc[j, :n]
                     full[n] = 0.0
                     scores[i] = full
-            for i in range(work["count"]):
-                text = eng.target_consensus(i, scores[i])
-                if text:
-                    out.stream.write(text)
-                    stats.fragments += text.count(">")
-                    stats.consensus_bases += sum(
-                        len(l)
-                        for l in text.splitlines()
-                        if not l.startswith(">")
-                    )
-                if journal is not None:
-                    journal.mark(eng.target_sid(i))
-            eng.clear_linears(work["count"])
+            with idx_lock:
+                for i in range(work["count"]):
+                    text = eng.target_consensus(i, scores[i])
+                    if text:
+                        out.stream.write(text)
+                        stats.fragments += text.count(">")
+                        stats.consensus_bases += sum(
+                            len(l)
+                            for l in text.splitlines()
+                            if not l.startswith(">")
+                        )
+                    if journal is not None:
+                        journal.mark(eng.target_sid(i))
+                eng.clear_linears(work["count"])
+                work["_cleared"][0] += work["count"]
 
-        # Producer thread runs the C++ parse/build/linearize for chunk
-        # k+1 (ctypes releases the GIL) while this thread submits chunk
-        # k's DP, materializes k-1's scores and emits. The semaphore
-        # caps retention at two chunks so index bookkeeping stays
-        # simple: at submit time, exactly `pending["count"]` earlier
-        # targets are retained.
+        # Producer thread runs the C++ parse/build/linearize in SMALL
+        # text slices (ctypes releases the GIL) so linearized targets
+        # become available early; the consumer dispatches the device
+        # DP in fixed TARGET-COUNT bites (decoupled from text slicing
+        # — every dispatch through the tunnel pays a ~100ms round-trip
+        # cost, so dispatch size must not depend on where text-chunk
+        # boundaries happen to fall). A retained-target cap gives
+        # backpressure; at submit time exactly the unemitted works'
+        # targets are retained, so retained indices stay aligned.
         import queue as _queue
         import threading
 
-        slots = threading.Semaphore(2)
         q: "_queue.Queue[object]" = _queue.Queue()
         SENTINEL = object()
         producer_err: list[BaseException] = []
         stop = threading.Event()
+        cond = threading.Condition()
+        retained = [0]
+
+        from pbdagcon_tpu.ops.dp import _B_LADDER
+
+        Vmax = max(cfg.v_buckets)
+        tcap = cfg.resolved_transfer_cap()
+        dn = max(32, min(cfg.batch_targets, tcap // (Vmax * 16 * 2)))
+        dispatch_n = max((b for b in _B_LADDER if b <= dn), default=32)
+        limit = 3 * dispatch_n
+        slice_bytes = min(chunk_bytes, 4 << 20)
 
         def producer() -> None:
             try:
-                for data, flush in chunks():
-                    slots.acquire()
+                for data, flush in chunks(slice_bytes):
+                    with cond:
+                        while retained[0] >= limit and not stop.is_set():
+                            cond.wait(1.0)
                     if stop.is_set():
                         return
                     appended = eng.linearize_text(
                         data, fmt=cfg.fmt, flush=flush
                     )
                     if appended:
+                        with cond:
+                            retained[0] += appended
                         q.put(appended)
-                    else:
-                        slots.release()
             except BaseException as e:  # pragma: no cover
                 producer_err.append(e)
             finally:
                 q.put(SENTINEL)
 
+        # Emitter thread: fetch+decode+emit of work k overlaps the
+        # submit (pack+upload) of work k+1 and the producer's
+        # linearize of k+2 — three-stage pipeline, one stage per
+        # thread. `idx_lock` serializes retained-index access: the
+        # engine's retained list shifts on clear, so submits (which
+        # read metas/pack at offsets) and the emit+clear section must
+        # not interleave. Fetch/decode stays outside the lock.
+        idx_lock = threading.Lock()
+        emq: "_queue.Queue[object]" = _queue.Queue(maxsize=2)
+        emit_err: list[BaseException] = []
+
+        def emitter() -> None:
+            try:
+                while True:
+                    w = emq.get()
+                    if w is SENTINEL:
+                        return
+                    emit_chunk(w, idx_lock)  # type: ignore[arg-type]
+                    with cond:
+                        retained[0] -= w["count"]  # type: ignore[index]
+                        cond.notify()
+            except BaseException as e:  # pragma: no cover
+                emit_err.append(e)
+                # Drain so the main thread's put() never deadlocks.
+                while True:
+                    w = emq.get()
+                    if w is SENTINEL:
+                        return
+
         t = threading.Thread(target=producer, daemon=True)
-        producer_thread = (t, stop, slots)
+        producer_thread = (t, stop, cond)
         t.start()
-        pending: dict | None = None
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            appended = int(item)  # type: ignore[arg-type]
-            stats.targets += appended
-            offset = pending["count"] if pending else 0
-            new_work = submit_chunk(offset, appended)
-            if pending is not None:
-                emit_chunk(pending)
-                slots.release()
-            pending = new_work
-        if pending is not None:
-            emit_chunk(pending)
-            slots.release()
+        et = threading.Thread(target=emitter, daemon=True)
+        et.start()
+        cleared = [0]  # total targets emitted+cleared (under idx_lock)
+        submitted = 0
+        avail = 0
+        eof = False
+        try:
+            while not eof:
+                item = q.get()
+                while True:  # drain whatever else is already linearized
+                    if item is SENTINEL:
+                        eof = True
+                    else:
+                        avail += int(item)  # type: ignore[arg-type]
+                        stats.targets += int(item)  # type: ignore[arg-type]
+                    try:
+                        item = q.get_nowait()
+                    except _queue.Empty:
+                        break
+                while avail >= dispatch_n or (eof and avail > 0):
+                    cnt = min(dispatch_n, avail)
+                    with idx_lock:
+                        work = submit_chunk(submitted - cleared[0], cnt)
+                    submitted += cnt
+                    avail -= cnt
+                    work["_cleared"] = cleared
+                    emq.put(work)
+                    if emit_err:
+                        raise emit_err[0]
+        finally:
+            emq.put(SENTINEL)
+            et.join()
         t.join()
+        if emit_err:
+            raise emit_err[0]
         if producer_err:
             raise producer_err[0]
         return stats
@@ -553,10 +630,10 @@ def _run_stream_native(
         # engine (or blocked on a slot); freeing the engine under it is
         # a use-after-free. Signal, unblock, and join before close.
         if producer_thread is not None:
-            _t, _stop, _slots = producer_thread
+            _t, _stop, _cond = producer_thread
             _stop.set()
-            _slots.release()
-            _slots.release()
+            with _cond:
+                _cond.notify_all()
             _t.join(timeout=60)
         try:
             _, drec, dgrp = eng.status()
