@@ -27,6 +27,18 @@
 //                 re-aligns from raw sequences.
 //   COMP flag (0x1) on an overlap means the B read aligns reverse-
 //   complemented.
+//   .<root>.qvs : compressed QV streams (the QV.{h,c} capability of
+//                 SURVEY.md §2 C9: five per-read tracks — delQV,
+//                 delTag, insQV, mergeQV, subQV — Huffman-coded).
+//                 Documented layout (round-trip pinned by
+//                 tests/test_dazzdb.py; re-verify against real files
+//                 when a reference mount exists):
+//                   int32 ntracks (= 5); per track a canonical-Huffman
+//                   table: int32 ncodes, then ncodes x (uint8 symbol,
+//                   uint8 codelen); then per read, per track, the
+//                   MSB-first bit-packed codes for rlen symbols, each
+//                   track byte-aligned. A read's block offset in .qvs
+//                   is the `coff` field of its .idx record.
 
 #include <cstdint>
 #include <cstdio>
@@ -89,6 +101,59 @@ static const size_t kReadRec = 40;
 static const size_t kLasHeader = 16;  // int64 novl + int tspace + pad
 static const size_t kOvlRec = 40;
 static const uint32_t kCompFlag = 0x1;
+static const int kQvTracks = 5;
+
+// Canonical-Huffman decode table for one QV track: symbols sorted by
+// (codelen, symbol); first_code[l] = smallest code of length l;
+// first_idx[l] = rank of that code's symbol in the sorted order.
+struct QvTable {
+  std::vector<uint8_t> symbols;     // sorted by (len, symbol)
+  uint32_t first_code[33];
+  int32_t first_idx[33];
+  uint8_t max_len = 0;
+  bool build(const std::vector<std::pair<uint8_t, uint8_t>>& codes) {
+    int count[33] = {0};
+    for (auto& c : codes) {
+      if (c.second < 1 || c.second > 32) return false;
+      count[c.second]++;
+      if (c.second > max_len) max_len = c.second;
+    }
+    symbols.reserve(codes.size());
+    // codes arrive sorted by (len, symbol) from the writer; re-sort
+    // defensively (stable layout contract, cheap at table size).
+    std::vector<std::pair<uint8_t, uint8_t>> s(codes);
+    for (size_t i = 1; i < s.size(); ++i) {  // insertion sort
+      auto key = s[i];
+      size_t j = i;
+      while (j > 0 && (s[j - 1].second > key.second ||
+                       (s[j - 1].second == key.second &&
+                        s[j - 1].first > key.first))) {
+        s[j] = s[j - 1];
+        --j;
+      }
+      s[j] = key;
+    }
+    uint32_t code = 0;
+    int idx = 0;
+    for (int l = 1; l <= 32; ++l) {
+      code <<= 1;
+      first_code[l] = code;
+      first_idx[l] = idx;
+      code += (uint32_t)count[l];
+      idx += count[l];
+    }
+    for (auto& c : s) symbols.push_back(c.first);
+    return true;
+  }
+};
+
+struct Qv {
+  QvTable tables[kQvTracks];
+  std::vector<uint8_t> data;      // raw .qvs payload
+  size_t payload_off = 0;         // first byte after the tables
+  std::vector<int> rlens;         // from .idx
+  std::vector<int64_t> coffs;     // from .idx
+};
 
 }  // namespace dazz
 
@@ -247,6 +312,114 @@ int las_overlaps(void* h, int32_t* aread, int32_t* bread, int32_t* comp,
     diffs[i] = o.diffs;
   }
   return 0;
+}
+
+// Open the .qvs QV streams of <root>.db; returns handle or NULL.
+void* dazz_qv_open(const char* dbpath) {
+  using namespace dazz;
+  std::vector<uint8_t> idx;
+  if (!read_file(hidden(dbpath, "idx"), idx)) return nullptr;
+  if (idx.size() < kIdxHeader) return nullptr;
+  int32_t ureads;
+  memcpy(&ureads, idx.data(), 4);
+  if (ureads < 0 ||
+      idx.size() < kIdxHeader + (size_t)ureads * kReadRec)
+    return nullptr;
+  Qv* qv = new Qv();
+  qv->rlens.resize(ureads);
+  qv->coffs.resize(ureads);
+  for (int i = 0; i < ureads; ++i) {
+    const uint8_t* r = idx.data() + kIdxHeader + (size_t)i * kReadRec;
+    memcpy(&qv->rlens[i], r + 4, 4);
+    memcpy(&qv->coffs[i], r + 24, 8);
+  }
+  if (!read_file(hidden(dbpath, "qvs"), qv->data) ||
+      qv->data.size() < 4) {
+    delete qv;
+    return nullptr;
+  }
+  int32_t ntracks;
+  memcpy(&ntracks, qv->data.data(), 4);
+  if (ntracks != kQvTracks) {
+    delete qv;
+    return nullptr;
+  }
+  size_t off = 4;
+  for (int t = 0; t < kQvTracks; ++t) {
+    if (off + 4 > qv->data.size()) {
+      delete qv;
+      return nullptr;
+    }
+    int32_t ncodes;
+    memcpy(&ncodes, qv->data.data() + off, 4);
+    off += 4;
+    if (ncodes < 0 || off + 2 * (size_t)ncodes > qv->data.size()) {
+      delete qv;
+      return nullptr;
+    }
+    std::vector<std::pair<uint8_t, uint8_t>> codes((size_t)ncodes);
+    for (int k = 0; k < ncodes; ++k) {
+      codes[k] = {qv->data[off + 2 * k], qv->data[off + 2 * k + 1]};
+    }
+    off += 2 * (size_t)ncodes;
+    if (ncodes > 0 && !qv->tables[t].build(codes)) {
+      delete qv;
+      return nullptr;
+    }
+  }
+  qv->payload_off = off;
+  return qv;
+}
+
+void dazz_qv_close(void* h) { delete (dazz::Qv*)h; }
+
+int dazz_qv_ntracks(void* h) { return h ? dazz::kQvTracks : -1; }
+
+// Decode track `t` (0 delQV, 1 delTag, 2 insQV, 3 mergeQV, 4 subQV) of
+// read `i` into buf[rlen]; returns rlen or -1 (bad index / truncated /
+// invalid stream).
+int dazz_qv_load(void* h, int i, int t, uint8_t* buf) {
+  using namespace dazz;
+  Qv* qv = (Qv*)h;
+  if (!qv || i < 0 || i >= (int)qv->rlens.size() || t < 0 ||
+      t >= kQvTracks)
+    return -1;
+  int rlen = qv->rlens[i];
+  const QvTable& tab = qv->tables[t];
+  if (rlen > 0 && tab.symbols.empty()) return -1;
+  // Walk the read's block: tracks 0..t-1 first, each byte-aligned.
+  size_t off = qv->payload_off + (size_t)qv->coffs[i];
+  for (int tt = 0; tt <= t; ++tt) {
+    const QvTable& dt = qv->tables[tt];
+    size_t bit = 0;
+    uint32_t code = 0;
+    int len = 0;
+    for (int k = 0; k < rlen; ++k) {
+      // Canonical decode: extend the code one bit at a time until it
+      // falls inside a populated length class.
+      for (;;) {
+        size_t byte = off + bit / 8;
+        if (byte >= qv->data.size()) return -1;
+        code = (code << 1) |
+               ((qv->data[byte] >> (7 - bit % 8)) & 1u);
+        ++bit;
+        ++len;
+        if (len > dt.max_len) return -1;
+        uint32_t fc = dt.first_code[len];
+        int32_t fi = dt.first_idx[len];
+        int32_t next_fi =
+            len < 32 ? dt.first_idx[len + 1] : (int32_t)dt.symbols.size();
+        if ((int32_t)(code - fc) < next_fi - fi && code >= fc) {
+          if (tt == t) buf[k] = dt.symbols[fi + (code - fc)];
+          code = 0;
+          len = 0;
+          break;
+        }
+      }
+    }
+    off += (bit + 7) / 8;  // byte-align the next track
+  }
+  return rlen;
 }
 
 }  // extern "C"

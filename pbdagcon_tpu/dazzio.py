@@ -116,6 +116,57 @@ class DazzDb:
         return buf.raw[:n].decode()
 
 
+QV_TRACKS = ("delQV", "delTag", "insQV", "mergeQV", "subQV")
+
+
+class DazzQv:
+    """Access to the compressed QV streams of a database (the QV.{h,c}
+    capability of SURVEY.md §2 C9): five Huffman-coded per-read tracks.
+    Layout notes in native/dazzdb.cpp; round-trip pinned against
+    `write_dazz_qvs`."""
+
+    def __init__(self, path: str):
+        lib = _lib()
+        if not hasattr(lib, "_qv_configured"):
+            lib.dazz_qv_open.restype = ctypes.c_void_p
+            lib.dazz_qv_open.argtypes = [ctypes.c_char_p]
+            lib.dazz_qv_close.argtypes = [ctypes.c_void_p]
+            lib.dazz_qv_ntracks.restype = ctypes.c_int
+            lib.dazz_qv_ntracks.argtypes = [ctypes.c_void_p]
+            lib.dazz_qv_load.restype = ctypes.c_int
+            lib.dazz_qv_load.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib._qv_configured = True
+        self._lib = lib
+        self._h = lib.dazz_qv_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open QV streams of {path!r}")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.dazz_qv_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def load(self, i: int, rlen: int) -> dict[str, bytes]:
+        """Decode all five tracks of read i (rlen from the database)."""
+        out = {}
+        buf = (ctypes.c_uint8 * max(1, rlen))()
+        for t, name in enumerate(QV_TRACKS):
+            rc = self._lib.dazz_qv_load(self._h, i, t, buf)
+            if rc < 0:
+                raise OSError(f"QV decode failed (read {i}, track {name})")
+            out[name] = bytes(buf[:rc])
+        return out
+
+
 def read_las(path: str, with_traces: bool = False) -> list[Overlap]:
     """All overlaps of a .las file. With `with_traces`, each overlap
     carries its decoded (diffs, b-advance) trace-point pairs (u8 for
@@ -205,6 +256,109 @@ def write_dazz_db(path: str, seqs: list[str]) -> None:
         f.write(idx)
     with open(os.path.join(d, f".{root}.bps"), "wb") as f:
         f.write(bps)
+
+
+def _huffman_lengths(hist: dict[int, int]) -> dict[int, int]:
+    """Code length per symbol (canonical Huffman over the histogram).
+    Single-symbol alphabets get length 1."""
+    import heapq
+    import itertools
+
+    if not hist:
+        return {}
+    if len(hist) == 1:
+        return {next(iter(hist)): 1}
+    cnt = itertools.count()
+    heap = [(n, next(cnt), {s: 0}) for s, n in hist.items()]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        na, _, da = heapq.heappop(heap)
+        nb, _, db = heapq.heappop(heap)
+        merged = {s: l + 1 for s, l in da.items()}
+        merged.update({s: l + 1 for s, l in db.items()})
+        heapq.heappush(heap, (na + nb, next(cnt), merged))
+    return heap[0][2]
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, len), canonical order (len asc, symbol asc) —
+    the assignment dazz_qv_open's decode tables reconstruct."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+def write_dazz_qvs(
+    dbpath: str, tracks_per_read: list[tuple[bytes, ...]]
+) -> None:
+    """Write hidden .qvs QV streams for an existing database (layout in
+    native/dazzdb.cpp) and stamp each read's block offset into the
+    .idx `coff` field. `tracks_per_read[i]` is the 5-tuple
+    (delQV, delTag, insQV, mergeQV, subQV) for read i."""
+    import os
+
+    d, root = os.path.split(dbpath)
+    if root.endswith(".db"):
+        root = root[:-3]
+    ntracks = len(QV_TRACKS)
+    hists: list[dict[int, int]] = [{} for _ in range(ntracks)]
+    for tr in tracks_per_read:
+        assert len(tr) == ntracks
+        for t, s in enumerate(tr):
+            for b in s:
+                hists[t][b] = hists[t].get(b, 0) + 1
+    codes = [_canonical_codes(_huffman_lengths(h)) for h in hists]
+    for c in codes:
+        assert all(ln <= 32 for _, ln in c.values()), (
+            "Huffman code exceeds the 32-bit decoder limit "
+            "(pathologically skewed histogram)"
+        )
+
+    out = bytearray()
+    out += struct.pack("<i", ntracks)
+    for t in range(ntracks):
+        tbl = sorted(codes[t].items(), key=lambda kv: (kv[1][1], kv[0]))
+        out += struct.pack("<i", len(tbl))
+        for sym, (_c, ln) in tbl:
+            out += struct.pack("<BB", sym, ln)
+    payload_start = len(out)
+
+    coffs = []
+    for tr in tracks_per_read:
+        coffs.append(len(out) - payload_start)
+        for t, s in enumerate(tr):
+            acc = 0
+            nbits = 0
+            buf = bytearray()
+            for b in s:
+                c, ln = codes[t][b]
+                acc = (acc << ln) | c
+                nbits += ln
+                while nbits >= 8:
+                    buf.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+            if nbits:
+                buf.append((acc << (8 - nbits)) & 0xFF)
+            out += buf
+    with open(os.path.join(d, f".{root}.qvs"), "wb") as f:
+        f.write(out)
+
+    idx_path = os.path.join(d, f".{root}.idx")
+    with open(idx_path, "r+b") as f:
+        data = bytearray(f.read())
+        (ureads,) = struct.unpack_from("<i", data, 0)
+        assert ureads == len(tracks_per_read), "read count mismatch"
+        for i, coff in enumerate(coffs):
+            struct.pack_into("<q", data, _IDX_HEADER + i * _READ_REC + 24,
+                             coff)
+        f.seek(0)
+        f.write(data)
 
 
 def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:

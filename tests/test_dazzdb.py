@@ -138,3 +138,87 @@ def test_las_trace_roundtrip_u16(tmp_path):
     assert las_tspace(path) == 1000
     got = read_las(path, with_traces=True)
     assert got[0].trace == ovls[0].trace
+
+
+class TestQvStreams:
+    """Round-trip of the .qvs QV-stream codec (QV.{h,c} capability,
+    SURVEY.md §2 C9): write_dazz_qvs -> native dazz_qv_open/load."""
+
+    def _mk(self, tmp_path, seqs, rng, skew=False):
+        from pbdagcon_tpu.dazzio import (
+            QV_TRACKS, DazzQv, write_dazz_db, write_dazz_qvs,
+        )
+
+        db = str(tmp_path / "qvfix.db")
+        write_dazz_db(db, seqs)
+        tracks = []
+        for s in seqs:
+            per = []
+            for t in range(5):
+                if skew and t == 0:
+                    # heavily skewed histogram (one dominant symbol)
+                    vals = rng.choice(
+                        [7, 40, 41, 42], size=len(s),
+                        p=[0.97, 0.01, 0.01, 0.01],
+                    )
+                elif t == 1:
+                    vals = rng.integers(65, 69, size=len(s))  # tag bases
+                else:
+                    vals = rng.integers(0, 94, size=len(s))
+                per.append(bytes(int(v) for v in vals))
+            tracks.append(tuple(per))
+        write_dazz_qvs(db, tracks)
+        return db, tracks
+
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from pbdagcon_tpu.dazzio import QV_TRACKS, DazzQv
+
+        rng = np.random.default_rng(7)
+        seqs = ["ACGT" * 30, "A" * 17, "GATTACA" * 9]
+        db, tracks = self._mk(tmp_path, seqs, rng)
+        with DazzQv(db) as qv:
+            for i, s in enumerate(seqs):
+                got = qv.load(i, len(s))
+                for t, name in enumerate(QV_TRACKS):
+                    assert got[name] == tracks[i][t], (i, name)
+
+    def test_roundtrip_skewed_and_single_symbol(self, tmp_path):
+        import numpy as np
+
+        from pbdagcon_tpu.dazzio import QV_TRACKS, DazzQv
+
+        rng = np.random.default_rng(11)
+        seqs = ["ACGTTGCA" * 16, "C" * 5]
+        db, tracks = self._mk(tmp_path, seqs, rng, skew=True)
+        # overwrite track 4 with a single-symbol stream everywhere
+        from pbdagcon_tpu.dazzio import write_dazz_qvs
+
+        tracks = [
+            (tr[0], tr[1], tr[2], tr[3], bytes([33]) * len(s))
+            for tr, s in zip(tracks, seqs)
+        ]
+        write_dazz_qvs(db, tracks)
+        with DazzQv(db) as qv:
+            for i, s in enumerate(seqs):
+                got = qv.load(i, len(s))
+                for t, name in enumerate(QV_TRACKS):
+                    assert got[name] == tracks[i][t], (i, name)
+
+    def test_empty_read_and_missing_qvs(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from pbdagcon_tpu.dazzio import DazzQv, write_dazz_db
+
+        rng = np.random.default_rng(3)
+        seqs = ["ACG", ""]
+        db, tracks = self._mk(tmp_path, seqs, rng)
+        with DazzQv(db) as qv:
+            assert qv.load(1, 0) == {k: b"" for k in (
+                "delQV", "delTag", "insQV", "mergeQV", "subQV")}
+        other = str(tmp_path / "noqv.db")
+        write_dazz_db(other, ["ACGT"])
+        with pytest.raises(OSError):
+            DazzQv(other)
