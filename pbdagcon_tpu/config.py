@@ -10,6 +10,36 @@ additive.
 from __future__ import annotations
 
 import dataclasses
+import os
+
+
+def enable_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache (idempotent).
+
+    The devbuild backend compiles one program per shape-ladder
+    combination (minutes cold through a tunneled backend); the cache
+    makes that a one-time cost across processes. Directory from
+    DAGCON_JAX_CACHE (value "0" or "" disables), default
+    ~/.cache/pbdagcon-tpu/jax."""
+    path = os.environ.get(
+        "DAGCON_JAX_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "pbdagcon-tpu", "jax"
+        ),
+    )
+    if not path or path == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir != path:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,8 +31,14 @@ from pbdagcon_tpu.ops.devbuild import EncodedGroup, encode_group
 log = logging.getLogger("pbdagcon_tpu")
 
 # Shape ladders: one compiled program per (B, R, C, L) combination used.
+# Rung spacing is a measured trade: the chain-space passes scale with
+# NC = R_rung * CH_rung, and coarse rungs waste real device time — a
+# 30-read pileup on the 48 rung ran the whole build 24% slower than on
+# a 32 rung (45.6k -> 56.6k b/s end to end), and a CH 192 rung bought
+# another 11% (-> 63k). Finer rungs cost compile shapes; the persistent
+# compilation cache (config.enable_compile_cache) amortizes them.
 _B_LADDER = (8, 32, 128)
-_R_LADDER = (16, 48, 128, 512)
+_R_LADDER = (16, 32, 48, 128, 512)
 _C_LADDER = (256, 1536, 4096, 16384)
 _L_LADDER = (256, 1024, 4096, 16384)
 
@@ -84,7 +90,7 @@ def ins_cap(caps) -> int:
 # worst-case formulas. Undersized picks only flag targets to the exact
 # host path — output is bit-identical either way.
 _SM_LADDER = (8, 14, 20)
-_CH_LADDER = (32, 64, 128, 256, 512)
+_CH_LADDER = (32, 64, 128, 192, 256, 512)
 _ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
 _DQ_LADDER = (4, 6, 8, 12)
 _SE_LADDER = (4, 8, 16)

@@ -745,6 +745,9 @@ def run_stream(
     journal=None,
 ) -> PipelineStats:
     """Reference-CLI-equivalent entry: M5/'pre' text stream in, FASTA out."""
+    from pbdagcon_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     stats = PipelineStats()
     backend = resolve_backend(cfg)
     if backend == "devbuild":
