@@ -467,93 +467,84 @@ def run_devbuild_native(
                 yield b"".join(acc), False
         yield b"", True
 
-    try:
-        for data, flush_f in chunks():
-            count = eng.encode_text(data, fmt=cfg.fmt, flush=flush_f)
-            if not count:
-                continue
-            stats.targets += count
-            metas = eng.enc_metas(count)
-            tot_ins = int(metas[:, 3].sum())
-            tot_cols = int(metas[:, 4].sum())
-            dcfg = (
-                DevCapsConfig.compact()
-                if tot_ins <= 0.11 * max(1, tot_cols)
-                else DevCapsConfig.heavy()
-            )
-            # bucket by ladder shape
-            buckets: dict[tuple, list[int]] = {}
-            fallback: list[int] = []
-            for i in range(count):
-                R, C, L, NI, _tc = (int(x) for x in metas[i, :5])
-                Rb = _ladder(max(R, 1), _R_LADDER)
-                Cb = _ladder(max(C, 1), _C_LADDER)
-                Lb = _ladder(max(L, 1), _L_LADDER)
-                if Rb is None or Cb is None or Lb is None:
-                    fallback.append(i)
+    # Three-stage pipeline, one stage per thread (same shape as
+    # _run_stream_native): a producer encodes small text slices (the
+    # C++ engine releases the GIL), the main thread windows targets and
+    # dispatches the device programs, an emitter fetches + assembles +
+    # writes. Engine enc indices shift on enc_clear, so submits (which
+    # read metas/fill at offsets) and the emit+clear section serialize
+    # on idx_lock; at submit time exactly the unemitted windows'
+    # targets are retained, keeping offsets aligned.
+    import queue as _queue
+    import threading
+
+    slice_bytes = min(chunk_bytes, 4 << 20)
+    WIN = max(32, cfg.batch_targets)
+    q: "_queue.Queue[object]" = _queue.Queue()
+    SENTINEL = object()
+    producer_err: list[BaseException] = []
+    stop = threading.Event()
+    cond = threading.Condition()
+    retained = [0]
+    limit = 3 * WIN
+
+    def producer() -> None:
+        try:
+            for data, flush_f in chunks():
+                if len(data) > slice_bytes:
+                    views = [
+                        data[o : o + slice_bytes]
+                        for o in range(0, len(data), slice_bytes)
+                    ]
                 else:
-                    buckets.setdefault((Rb, Cb, Lb), []).append(i)
-            texts: dict[int, str] = {}
-            for i in fallback:
+                    views = [data]
+                for vi, piece in enumerate(views):
+                    with cond:
+                        while retained[0] >= limit and not stop.is_set():
+                            cond.wait(1.0)
+                    if stop.is_set():
+                        return
+                    fl = flush_f and vi == len(views) - 1
+                    appended = eng.encode_text(
+                        piece, fmt=cfg.fmt, flush=fl
+                    )
+                    if appended:
+                        with cond:
+                            retained[0] += appended
+                        q.put(appended)
+        except BaseException as e:  # pragma: no cover
+            producer_err.append(e)
+        finally:
+            q.put(SENTINEL)
+
+    idx_lock = threading.Lock()
+    emq: "_queue.Queue[object]" = _queue.Queue(maxsize=2)
+    emit_err: list[BaseException] = []
+    cleared = [0]
+
+    def emit_window(win: dict) -> None:
+        # Materialize device results (slow fetch — outside idx_lock).
+        texts: dict[int, str] = {}
+        host_idx: list[int] = list(win["fallback"])
+        for part, dev in win["batches"]:
+            o = {k: np.asarray(v) for k, v in dev.items()}
+            for j, i in enumerate(part):
+                if o["flags"][j] or o["ambiguous"][j] or o["overflow"][j]:
+                    host_idx.append(i)
+                else:
+                    res = devemit.assemble_fragments(
+                        o["bases"][j], o["kept"][j], o["bbpos"][j],
+                        int(o["path_len"][j]), cfg.min_length,
+                    )
+                    texts[i] = format_fasta(win["sids"][i], res)
+        with idx_lock:
+            # This window's targets sit at retained indices
+            # 0..count-1 now (windows emit in submit order and each
+            # clears its own).
+            for i in host_idx:
                 stats.host_fallbacks += 1
                 texts[i] = eng.enc_consensus(i)
-            # In-flight queue: submit batches asynchronously (the next
-            # batch's host encode + upload overlap the device's work on
-            # the previous one), drain with one batch still in flight.
-            inflight: list[tuple[list[int], dict]] = []
-            depth = int(_os.environ.get("DAGCON_INFLIGHT", "2"))
-
-            def drain(all_batches: bool) -> None:
-                while inflight and (all_batches or len(inflight) >= depth):
-                    pt, dev = inflight.pop(0)
-                    o = {k: np.asarray(v) for k, v in dev.items()}
-                    for j, i in enumerate(pt):
-                        if o["flags"][j] or o["ambiguous"][j] or (
-                            o["overflow"][j]
-                        ):
-                            stats.host_fallbacks += 1
-                            texts[i] = eng.enc_consensus(i)
-                        else:
-                            res = devemit.assemble_fragments(
-                                o["bases"][j], o["kept"][j], o["bbpos"][j],
-                                int(o["path_len"][j]), cfg.min_length,
-                            )
-                            texts[i] = format_fasta(eng.enc_sid(i), res)
-
-            for (Rb, Cb, Lb), idxs in buckets.items():
-                sub = metas[idxs]
-                caps = caps_for(
-                    _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
-                    Rb, Cb, Lb, dcfg,
-                    ch_need=int(sub[:, 5].max()),
-                    sm_need=int(sub[:, 6].max()),
-                    nd_need=int(sub[:, 3].max()),
-                    dq_need=int(sub[:, 7].max()),
-                    se_need=int(sub[:, 8].max()),
-                )
-                NI = ins_cap(caps)
-                over_ni = [i for i in idxs if int(metas[i, 3]) > NI]
-                for i in over_ni:
-                    stats.host_fallbacks += 1
-                    texts[i] = eng.enc_consensus(i)
-                idxs = [i for i in idxs if int(metas[i, 3]) <= NI]
-                P = min(caps.V, 2 * caps.L + 64)
-                step = full_step_fn(caps, P)
-                for lo in range(0, len(idxs), caps.B):
-                    part = idxs[lo : lo + caps.B]
-                    ops, starts, bbuf, ins, Lrr = eng.enc_fill(
-                        part, caps.R, caps.C, caps.L, NI, B=caps.B
-                    )
-                    dev = step(
-                        jnp.asarray(ops), jnp.asarray(starts),
-                        jnp.asarray(bbuf), jnp.asarray(ins),
-                        jnp.asarray(Lrr), jnp.int32(cfg.min_weight),
-                    )
-                    stats.batches += 1
-                    inflight.append((part, dev))
-                    drain(all_batches=False)
-            drain(all_batches=True)
-            for i in range(count):
+            for i in range(win["count"]):
                 text = texts.get(i, "")
                 if text:
                     out.stream.write(text)
@@ -563,10 +554,142 @@ def run_devbuild_native(
                         if not l.startswith(">")
                     )
                 if journal is not None:
-                    journal.mark(eng.enc_sid(i))
-            eng.enc_clear(count)
+                    journal.mark(win["sids"][i])
+            eng.enc_clear(win["count"])
+            win["_cleared"][0] += win["count"]
+
+    def emitter() -> None:
+        try:
+            while True:
+                w = emq.get()
+                if w is SENTINEL:
+                    return
+                emit_window(w)  # type: ignore[arg-type]
+                with cond:
+                    retained[0] -= w["count"]  # type: ignore[index]
+                    cond.notify()
+        except BaseException as e:  # pragma: no cover
+            emit_err.append(e)
+            while True:  # drain so the main thread's put() never blocks
+                w = emq.get()
+                if w is SENTINEL:
+                    return
+
+    def submit_window(offset: int, count: int) -> dict:
+        """Bucket + dispatch one window (targets at engine indices
+        offset..offset+count-1). Indices inside the returned work are
+        window-relative."""
+        metas = eng.enc_metas(count, offset=offset)
+        sids = [eng.enc_sid(offset + i) for i in range(count)]
+        tot_ins = int(metas[:, 3].sum())
+        tot_cols = int(metas[:, 4].sum())
+        prof = (
+            DevCapsConfig.compact()
+            if tot_ins <= 0.11 * max(1, tot_cols)
+            else DevCapsConfig.heavy()
+        )
+        buckets: dict[tuple, list[int]] = {}
+        fallback: list[int] = []
+        for i in range(count):
+            R, C, L, NI, _tc = (int(x) for x in metas[i, :5])
+            Rb = _ladder(max(R, 1), _R_LADDER)
+            Cb = _ladder(max(C, 1), _C_LADDER)
+            Lb = _ladder(max(L, 1), _L_LADDER)
+            if Rb is None or Cb is None or Lb is None:
+                fallback.append(i)
+            else:
+                buckets.setdefault((Rb, Cb, Lb), []).append(i)
+        batches: list[tuple[list[int], dict]] = []
+        for (Rb, Cb, Lb), idxs in buckets.items():
+            sub = metas[idxs]
+            caps = caps_for(
+                _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
+                Rb, Cb, Lb, prof,
+                ch_need=int(sub[:, 5].max()),
+                sm_need=int(sub[:, 6].max()),
+                nd_need=int(sub[:, 3].max()),
+                dq_need=int(sub[:, 7].max()),
+                se_need=int(sub[:, 8].max()),
+            )
+            NI = ins_cap(caps)
+            fallback.extend(
+                i for i in idxs if int(metas[i, 3]) > NI
+            )
+            idxs = [i for i in idxs if int(metas[i, 3]) <= NI]
+            P = min(caps.V, 2 * caps.L + 64)
+            step = full_step_fn(caps, P)
+            for lo in range(0, len(idxs), caps.B):
+                part = idxs[lo : lo + caps.B]
+                ops, starts, bbuf, ins, Lrr = eng.enc_fill(
+                    [offset + i for i in part],
+                    caps.R, caps.C, caps.L, NI, B=caps.B,
+                )
+                dev = step(
+                    jnp.asarray(ops), jnp.asarray(starts),
+                    jnp.asarray(bbuf), jnp.asarray(ins),
+                    jnp.asarray(Lrr), jnp.int32(cfg.min_weight),
+                )
+                stats.batches += 1
+                batches.append((part, dev))
+        return {
+            "count": count,
+            "sids": sids,
+            "fallback": fallback,
+            "batches": batches,
+        }
+
+    producer_thread = None
+    try:
+        t = threading.Thread(target=producer, daemon=True)
+        producer_thread = (t, stop, cond)
+        t.start()
+        et = threading.Thread(target=emitter, daemon=True)
+        et.start()
+        submitted = 0
+        avail = 0
+        eof = False
+        try:
+            while not eof:
+                item = q.get()
+                while True:  # drain whatever else is already encoded
+                    if item is SENTINEL:
+                        eof = True
+                    else:
+                        avail += int(item)  # type: ignore[arg-type]
+                        stats.targets += int(item)  # type: ignore[arg-type]
+                    try:
+                        item = q.get_nowait()
+                    except _queue.Empty:
+                        break
+                while avail >= WIN or (eof and avail > 0):
+                    cnt = min(WIN, avail)
+                    with idx_lock:
+                        win = submit_window(submitted - cleared[0], cnt)
+                    submitted += cnt
+                    avail -= cnt
+                    win["_cleared"] = cleared
+                    emq.put(win)
+                    if emit_err:
+                        raise emit_err[0]
+        finally:
+            emq.put(SENTINEL)
+            et.join()
+        t.join()
+        if emit_err:
+            raise emit_err[0]
+        if producer_err:
+            raise producer_err[0]
         return stats
     finally:
+        # On a main-thread error the producer may still be inside the
+        # engine (or blocked on the retained-target cap); freeing the
+        # engine under it is a use-after-free. Signal, unblock, join.
+        if producer_thread is not None:
+            _t, _stop, _cond = producer_thread
+            _stop.set()
+            with _cond:
+                _cond.notify_all()
+            _t.join(timeout=60)
         try:
             _, drec, dgrp = eng.status()
             stats.dropped_records += drec
