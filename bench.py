@@ -259,12 +259,24 @@ def main() -> int:
             # the real pipeline).
             import jax as _jax
 
+            from pbdagcon_tpu.ops.dp import _blocked_eligible
+
+            V_ = batch["win_count"].shape[1]
+            if _blocked_eligible(batch, V_):
+                # Production routing: eligible arenas take the blocked
+                # max-plus solve (exactness-guarded).
+                from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
+
+                _solve = lambda *a: dp_scores_blocked(*a)[0]
+            else:
+                _solve = dp_scores
+
             @_jax.jit
             def _chained(*a):
                 s = jnp.float32(0)
                 arrs = list(a)
                 for _ in range(20):
-                    sc = dp_scores(*arrs)
+                    sc = _solve(*arrs)
                     s = s + jnp.sum(jnp.where(jnp.isfinite(sc), sc, 0))
                     # Value-0 data dependency so XLA cannot CSE the
                     # iterations into one solve (s - s is not foldable

@@ -580,16 +580,71 @@ def _dp_scores_arena(arena: jax.Array, B: int, V: int, W: int, K: int):
     return _compress_scores(dp_scores(*args))
 
 
+@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K"))
+def _dp_scores_arena_blocked(arena, B: int, V: int, W: int, K: int):
+    """Blocked max-plus solve over the arena (2.4x the scan's execute
+    rate on v5e: 6.1 vs 14.5 ms per [256, 4608, 16] batch). Per-row
+    Kleene non-convergence folds into the wire's ok flag, so those rows
+    refetch through the exact sequential scan like compression-flagged
+    ones — exactness is never sacrificed."""
+    from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
+
+    args = _unpack_arena(arena, B, V, W, K)
+    s, unconv = dp_scores_blocked(*args)
+    packed = _compress_scores(s)
+    return packed.at[:, 2].set(
+        jnp.where(unconv, jnp.int16(0), packed[:, 2])
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K"))
+def _dp_scores_arena8_blocked(arena, B: int, V: int, W: int, K: int):
+    from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
+
+    a = _unpack_arena8(arena, B, V, W, K)
+    args = (
+        a[0].astype(jnp.int16), a[1].astype(jnp.int16),
+        a[2].astype(jnp.int16),
+    ) + a[3:]
+    s, unconv = dp_scores_blocked(*args)
+    packed = _compress_scores(s)
+    return packed.at[:, 2].set(
+        jnp.where(unconv, jnp.int16(0), packed[:, 2])
+    )
+
+
+def _blocked_eligible(batch: dict, V: int) -> bool:
+    """Host-side guard for routing an arena batch through the blocked
+    solve: block size divides V and the f32-exactness bound holds for
+    this batch's count/coverage magnitudes (ops/dp_blocked.py)."""
+    if V % 64 != 0:
+        return False
+    from pbdagcon_tpu.ops.dp_blocked import blocked_safe
+
+    max_esc = max(
+        float(np.abs(batch["cov"]).max(initial=0)) * 0.5
+        + float(batch["win_count"].max(initial=0)),
+        10.0,
+    )
+    return bool(blocked_safe(max_esc, V))
+
+
 def submit_arena_scores(
-    arena: np.ndarray, B: int, V: int, W: int, K: int
+    arena: np.ndarray, B: int, V: int, W: int, K: int,
+    use_blocked: bool = False,
 ) -> "jax.Array":
     """One-upload, one-dispatch, one-fetch DP: the arena holds the whole
     packed batch (see `arena_layout`); the result is the packed
     compressed-score buffer (`_CompressedScores`-compatible stream with
     no fallback handle — rows that fail compression re-run via
-    `dp_scores` on the arena)."""
+    `dp_scores` on the arena). With `use_blocked` (caller checked
+    `_blocked_eligible`), the solve is the faster blocked max-plus form;
+    unconverged rows are wire-flagged and refetch through the scan."""
     dev = jnp.asarray(arena)
-    packed = _dp_scores_arena(dev, B=B, V=V, W=W, K=K)
+    if use_blocked:
+        packed = _dp_scores_arena_blocked(dev, B=B, V=V, W=W, K=K)
+    else:
+        packed = _dp_scores_arena(dev, B=B, V=V, W=W, K=K)
     return _ArenaScores(dev, packed, B, V, W, K)
 
 
@@ -698,7 +753,10 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
         if a8 is not None:
             Bp, V, W, K = batch["_dims"]
             dev = jnp.asarray(a8)
-            packed = _dp_scores_arena8(dev, B=Bp, V=V, W=W, K=K)
+            if _blocked_eligible(batch, V):
+                packed = _dp_scores_arena8_blocked(dev, B=Bp, V=V, W=W, K=K)
+            else:
+                packed = _dp_scores_arena8(dev, B=Bp, V=V, W=W, K=K)
             return _PackedFuture(
                 packed,
                 lambda: _dp_scores_arena8_full(dev, B=Bp, V=V, W=W, K=K),
@@ -708,7 +766,10 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
         return submit_edges_scores(batch["_edges_arena"], Bp, V, W, K, E, X)
     if backend == "xla" and "_arena" in batch:
         Bp, V, W, K = batch["_dims"]
-        return submit_arena_scores(batch["_arena"], Bp, V, W, K)
+        return submit_arena_scores(
+            batch["_arena"], Bp, V, W, K,
+            use_blocked=_blocked_eligible(batch, V),
+        )
     batch = _pad_b(batch)
     if backend == "blocked":
         from pbdagcon_tpu.ops.dp_blocked import blocked_safe, dp_scores_blocked
