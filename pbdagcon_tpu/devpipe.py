@@ -427,16 +427,44 @@ def run_devbuild_native(
     # through a 45 MB/s tunnel (measured 38k -> 11k b/s). Separate
     # programs free each stage's intermediates at its boundary.
     def full_step_fn(caps, P):
+        from pbdagcon_tpu.ops.dp_blocked import (
+            blocked_safe,
+            dp_scores_blocked,
+        )
+
+        # Blocked max-plus solve when the f32-exactness bound holds
+        # (edge counts/coverage are bounded by the batch's read cap, so
+        # 1.5 * R + 10 bounds every |escore|) AND the band is narrow:
+        # the block algebra does ~W^2 work per node vs the scan's W, so
+        # it wins at the host-arena W=16 (6.1 vs 14.5 ms/[256,4608])
+        # but loses 25% end to end at devbuild's W=96 (measured). Rows
+        # whose long-edge Kleene iteration fails to converge are
+        # flagged to the exact host path like any other build flag.
+        use_blocked = (
+            caps.W <= 32
+            and caps.V % 64 == 0
+            and blocked_safe(1.5 * caps.R + 10.0, caps.V)
+        )
+
         def step(ops, starts, bbuf, ins, Lr, mw):
             build = device_build(ops, starts, bbuf, ins, Lr, caps)
-            scores = dp_scores(
-                build["win"], build["exit_cnt"], build["cov"],
-                build["unsup"], build["long_u"], build["long_w"],
-                build["long_esc"],
-            )
+            flags = build["flags"]
+            if use_blocked:
+                scores, unconv = dp_scores_blocked(
+                    build["win"], build["exit_cnt"], build["cov"],
+                    build["unsup"], build["long_u"], build["long_w"],
+                    build["long_esc"],
+                )
+                flags = flags | unconv
+            else:
+                scores = dp_scores(
+                    build["win"], build["exit_cnt"], build["cov"],
+                    build["unsup"], build["long_u"], build["long_w"],
+                    build["long_esc"],
+                )
             emit = devemit.backtrack_emit(build, scores, mw, P)
             return {
-                "flags": build["flags"],
+                "flags": flags,
                 "ambiguous": emit["ambiguous"],
                 "overflow": emit["overflow"],
                 "bases": emit["bases"],

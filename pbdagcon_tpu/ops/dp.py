@@ -615,9 +615,11 @@ def _dp_scores_arena8_blocked(arena, B: int, V: int, W: int, K: int):
 
 def _blocked_eligible(batch: dict, V: int) -> bool:
     """Host-side guard for routing an arena batch through the blocked
-    solve: block size divides V and the f32-exactness bound holds for
+    solve: block size divides V, the band is narrow (the block algebra
+    does ~W^2 work per node vs the scan's W — it wins 2.4x at W=16 and
+    loses at W>=96, measured), and the f32-exactness bound holds for
     this batch's count/coverage magnitudes (ops/dp_blocked.py)."""
-    if V % 64 != 0:
+    if V % 64 != 0 or batch["win_count"].shape[2] > 32:
         return False
     from pbdagcon_tpu.ops.dp_blocked import blocked_safe
 
