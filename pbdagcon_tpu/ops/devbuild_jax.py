@@ -1249,7 +1249,11 @@ def assemble_band(
     # them into one pass (measured 500x over [B, V, W] accumulation);
     # one transpose at the end restores the DP's layout.
     NEG = jnp.int32(-1)
-    win = jnp.full((B, W, V), NEG)
+    # Edge counts fit int16 (<= reads per target << 2^14): the band is
+    # the largest array family in the build, so halving its width halves
+    # the traffic of the class-select chain, the final transpose, and
+    # the DP's input.
+    win = jnp.full((B, W, V), jnp.int16(-1))
     wkey = jnp.zeros((B, W, V), dtype=I32)
     exit_cnt = jnp.full((B, V), NEG)
     exit_key = jnp.zeros((B, V), dtype=I32)
@@ -1261,7 +1265,7 @@ def assemble_band(
         ok = present & (span >= 1) & (span <= W) & in_range
         flags = flags | jnp.any(present & (span > W) & in_range, axis=-1)
         m = ok[:, None, :] & (wlane == (span[:, None, :] - 1))
-        win = jnp.where(m, count[:, None, :], win)
+        win = jnp.where(m, count.astype(jnp.int16)[:, None, :], win)
         wkey = jnp.where(m, key[:, None, :], wkey)
         return win, wkey, flags
 
