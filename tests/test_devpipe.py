@@ -170,3 +170,69 @@ def test_native_meta_needs_match_python_chain_stats():
         enc = encode_group(g.backbone, realigned, sid=g.sid)
         ch, sm, dq, se = chain_stats(enc.ops, enc.starts)
         assert tuple(metas[i, 5:9]) == (ch, sm, dq, se), f"target {i}"
+
+
+def test_devbuild_native_multi_window_streaming():
+    """The three-stage threaded devbuild pipeline must keep engine
+    indices aligned across >1 emission window (submit offsets shift as
+    earlier windows clear) and preserve input order, including repeated
+    non-consecutive sids and flagged/fallback targets interleaved."""
+    import pytest
+
+    from pbdagcon_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    rng = random.Random(5)
+    groups = list(simulate_targets(77, 23, 300, 10))
+    # repeat an earlier target id later in the stream (distinct group)
+    tid0, bb0, alns0 = groups[3]
+    groups.append((tid0, bb0, alns0))
+    for _tid, _bb, alns in groups:
+        for a in alns:
+            lines.append(to_m5(a, flip=rng.random() < 0.3))
+    text = "\n".join(lines) + "\n"
+    cfg_kw = dict(use_native=True, min_weight=3, min_length=50)
+    buf_h = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_h),
+        DagconConfig(backend="host", **cfg_kw),
+    )
+    # batch_targets=8 forces 3 windows of 8 targets over 24 groups.
+    buf_d = _io.StringIO()
+    stats = run_stream(
+        _io.StringIO(text), FastaWriter(buf_d),
+        DagconConfig(backend="devbuild", batch_targets=8, **cfg_kw),
+    )
+    assert buf_d.getvalue() == buf_h.getvalue()
+    assert stats.targets == 24
+
+
+def test_xla_native_ladder_boundary_counts():
+    """Dispatch decomposition pads tails up one ladder rung and takes
+    full rungs greedily; a target count straddling rungs (e.g. 19) must
+    still emit every target once, in order, byte-equal to host."""
+    import pytest
+
+    from pbdagcon_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    for _tid, _bb, alns in simulate_targets(9, 19, 300, 10):
+        lines.extend(to_m5(a) for a in alns)
+    text = "\n".join(lines) + "\n"
+    cfg_kw = dict(use_native=True, min_weight=3, min_length=50)
+    buf_h = _io.StringIO()
+    run_stream(
+        _io.StringIO(text), FastaWriter(buf_h),
+        DagconConfig(backend="host", **cfg_kw),
+    )
+    buf_d = _io.StringIO()
+    stats = run_stream(
+        _io.StringIO(text), FastaWriter(buf_d),
+        DagconConfig(backend="xla", batch_targets=16, **cfg_kw),
+    )
+    assert buf_d.getvalue() == buf_h.getvalue()
+    assert stats.targets == 19
