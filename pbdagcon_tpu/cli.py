@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
         "manifest sharding; each host writes its own output)",
     )
     p.add_argument(
+        "--shard-bytes", action="store_true",
+        help="with --shard/--distributed and a file input: each rank "
+        "reads only its own byte range of the file (group-boundary "
+        "exact) instead of parsing the whole stream and filtering — "
+        "removes the parse-replication scaling floor",
+    )
+    p.add_argument(
         "--journal", default=None, metavar="PATH",
         help="completed-target journal: skip targets already recorded, "
         "append as they finish (restart-safe streaming)",
@@ -203,12 +210,37 @@ def main(argv: list[str] | None = None) -> int:
         if args.shard:
             shard_i, shard_n = (int(x) for x in args.shard.split("/"))
 
-        def keep(sid: str, gidx: int) -> bool:
-            if gidx % shard_n != shard_i:
-                return False
-            return journal is None or sid not in journal
+        if (
+            args.shard_bytes
+            and args.shard
+            and args.input not in (None, "-")
+        ):
+            # Byte-range sharding: this rank parses only ~1/N of the
+            # file (group-boundary exact; io.shard_stream_bytes).
+            from pbdagcon_tpu.io import shard_stream_bytes
 
-        stream = filter_groups_text(stream, cfg.fmt, keep)
+            stream.close()
+            stream = shard_stream_bytes(
+                args.input, cfg.fmt, shard_i, shard_n
+            )
+            if journal is not None:
+                stream = filter_groups_text(
+                    stream, cfg.fmt,
+                    lambda sid, _g: sid not in journal,
+                )
+        else:
+            if args.shard_bytes:
+                logging.getLogger("pbdagcon_tpu").warning(
+                    "--shard-bytes needs --shard/--distributed and a "
+                    "file input; falling back to filtered streaming"
+                )
+
+            def keep(sid: str, gidx: int) -> bool:
+                if gidx % shard_n != shard_i:
+                    return False
+                return journal is None or sid not in journal
+
+            stream = filter_groups_text(stream, cfg.fmt, keep)
 
     if args.selfcheck:
         from pbdagcon_tpu.selfcheck import run_selfcheck

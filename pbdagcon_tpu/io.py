@@ -84,6 +84,90 @@ def sid_of_line(line: str, fmt: str = "m5") -> str:
     return line.split(None, idx + 1)[idx]
 
 
+def _line_start_before(f, pos: int) -> int:
+    """Offset of the line containing byte `pos` (binary file handle):
+    backward scan for the previous newline in growing windows."""
+    step = 1 << 16
+    hi = pos
+    while hi > 0:
+        lo = max(0, hi - step)
+        f.seek(lo)
+        buf = f.read(hi - lo)
+        nl = buf.rfind(b"\n")
+        if nl >= 0:
+            return lo + nl + 1
+        hi = lo
+        step *= 2
+    return 0
+
+
+def shard_stream_bytes(
+    path: str, fmt: str, shard_i: int, shard_n: int
+) -> Iterator[str]:
+    """Byte-range input sharding WITHOUT parse replication: rank i of n
+    reads only ~size/n bytes of the file (real multi-host HGAP
+    deployments pre-split inputs per host, SURVEY.md §3.5; this builds
+    the split into the reader so `--distributed` scales parse too).
+
+    Ownership rule: a group "cut point" is the byte offset of the first
+    line of a group; the group belongs to the rank whose range
+    satisfies start < cut <= end (rank 0 owns the file-leading group).
+    Each rank locates the full line containing its start byte (backward
+    newline scan), tracks sid changes from there, and emits from its
+    first owned cut until the first cut past `end` — boundary groups
+    are neither lost nor duplicated, whatever the boundary lands on."""
+    import os as _os
+
+    size = _os.path.getsize(path)
+    start = shard_i * size // shard_n
+    end = (shard_i + 1) * size // shard_n
+    with open(path, "rb") as f:
+        prev: str | None = None
+        if shard_i > 0:
+            if start >= size:
+                return
+            ls = _line_start_before(f, start)
+            f.seek(ls)
+            raw = f.readline()  # full line containing byte `start`
+            while raw and not raw.strip():
+                raw = f.readline()
+            if not raw:
+                return
+            prev = sid_of_line(raw.decode(), fmt)
+            # skip to the first cut strictly past `start` (a tiny shard
+            # may find its first cut already past `end`: owns nothing)
+            while True:
+                pos = f.tell()
+                raw = f.readline()
+                if not raw:
+                    return
+                if not raw.strip():
+                    continue
+                sid = sid_of_line(raw.decode(), fmt)
+                if sid != prev:
+                    if pos > end:
+                        return
+                    prev = sid
+                    yield raw.decode()
+                    break
+        # emit until the first cut past `end`
+        while True:
+            pos = f.tell()
+            raw = f.readline()
+            if not raw:
+                return
+            if not raw.strip():
+                continue
+            sid = sid_of_line(raw.decode(), fmt)
+            if prev is None:
+                prev = sid
+            elif sid != prev:
+                if pos > end:
+                    return
+                prev = sid
+            yield raw.decode()
+
+
 def filter_groups_text(
     stream: TextIO | Iterable[str],
     fmt: str,

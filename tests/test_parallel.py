@@ -118,3 +118,83 @@ def test_prefetcher_bounded_and_propagates():
     assert next(it) == 1
     with _pytest.raises(RuntimeError):
         list(it)
+
+
+def test_shard_stream_bytes_partition_exact(tmp_path):
+    """Byte-range sharding must assign every group to exactly one rank
+    (no loss, no duplication) for any N, wherever the byte boundaries
+    land — including boundaries exactly at group starts (many tiny
+    groups make that likely)."""
+    import io as _io
+
+    from pbdagcon_tpu.io import shard_stream_bytes, sid_of_line
+    from pbdagcon_tpu.simulate import simulate_targets, to_m5
+
+    lines = []
+    for _tid, _bb, alns in simulate_targets(3, 37, 120, 4):
+        lines.extend(to_m5(a) for a in alns)
+    path = str(tmp_path / "pile.m5")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    full = [l for l in open(path) if l.strip()]
+    full_sids = []
+    for l in full:
+        s = sid_of_line(l, "m5")
+        if not full_sids or full_sids[-1] != s:
+            full_sids.append(s)
+    for n in (1, 2, 3, 5, 8, 13):
+        got_lines = []
+        per_rank_sids = []
+        for i in range(n):
+            rl = list(shard_stream_bytes(path, "m5", i, n))
+            got_lines.extend(rl)
+            sids = []
+            for l in rl:
+                s = sid_of_line(l, "m5")
+                if not sids or sids[-1] != s:
+                    sids.append(s)
+            per_rank_sids.append(sids)
+        assert got_lines == full, f"line partition broken at n={n}"
+        merged = [s for sids in per_rank_sids for s in sids]
+        assert merged == full_sids, f"group partition broken at n={n}"
+        # no group split across ranks
+        for i in range(n - 1):
+            if per_rank_sids[i] and per_rank_sids[i + 1]:
+                assert per_rank_sids[i][-1] != per_rank_sids[i + 1][0]
+
+
+def test_shard_bytes_cli_merge_matches_single(tmp_path):
+    """tpu-dagcon --shard I/N --shard-bytes outputs concatenate to the
+    single-process FASTA (group-ordered input)."""
+    import subprocess
+    import sys as _sys
+
+    from pbdagcon_tpu.simulate import simulate_targets, to_m5
+
+    lines = []
+    for _tid, _bb, alns in simulate_targets(8, 9, 200, 8):
+        lines.extend(to_m5(a) for a in alns)
+    path = str(tmp_path / "pile.m5")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    import os
+
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+
+    def run(args):
+        r = subprocess.run(
+            [_sys.executable, "-m", "pbdagcon_tpu", path, "-c", "3",
+             "-m", "50", "--backend", "host"] + args,
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    single = run([])
+    merged = "".join(
+        run(["--shard", f"{i}/3", "--shard-bytes"]) for i in range(3)
+    )
+    assert merged == single

@@ -41,6 +41,10 @@ def run_procs(inp, nproc, threads, outdir):
                 JAX_PROCESS_ID=str(rank),
             )
             cmd.append("--distributed")
+            if os.environ.get("SCALING_SHARD_BYTES", "1") == "1":
+                # byte-range input split: each rank parses only ~1/N
+                # of the file (removes the parse-replication floor)
+                cmd.append("--shard-bytes")
         out = os.path.join(outdir, f"out{nproc}_{rank}.fa")
         outs.append(out)
         procs.append(
