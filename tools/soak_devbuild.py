@@ -1,20 +1,42 @@
 """Randomized end-to-end soak: backend=devbuild vs host over the CLI
-pipeline (CPU). Usage: python tools/soak_devbuild.py [trials]."""
+pipeline (CPU). Usage: python tools/soak_devbuild.py [trials] [offset].
+
+Every random shape combination compiles fresh XLA:CPU programs whose
+JIT code mappings stay mapped for as long as the jit cache holds the
+executable — a 12-trial run was measured at 36k maps against the
+65,530 per-process vm.max_map_count limit. jax.clear_caches() after
+each trial releases them; re-exec'ing in SOAK_CHUNK-trial subprocesses
+(default 12) is kept as a belt-and-braces backstop."""
 import io as _io
+import os
 import random
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+offset = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+CHUNK = int(os.environ.get("SOAK_CHUNK", "12"))
+if offset == 0 and trials > CHUNK:
+    rc_all = 0
+    for lo in range(0, trials, CHUNK):
+        n = min(CHUNK, trials - lo)
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), str(n), str(lo)]
+        )
+        rc_all |= rc
+    sys.exit(rc_all)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+os.environ.setdefault("DAGCON_JAX_CACHE", "0")
 
 from pbdagcon_tpu.config import DagconConfig
 from pbdagcon_tpu.io import FastaWriter
 from pbdagcon_tpu.pipeline import run_stream
 from pbdagcon_tpu.simulate import NoiseProfile, simulate_pileup, to_m5, to_pre
-
-trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 profiles = [
     NoiseProfile(),
     NoiseProfile(sub=0.05, ins=0.2, dele=0.1),
@@ -22,7 +44,7 @@ profiles = [
 ]
 fails = 0
 fallbacks = targets = 0
-for trial in range(trials):
+for trial in range(offset, offset + trials):
     rng = random.Random(90_000 + trial)
     fmt = rng.choice(["m5", "pre"])
     lines = []
@@ -54,6 +76,7 @@ for trial in range(trials):
     if b1.getvalue() != b2.getvalue():
         fails += 1
         print(f"FAIL trial {trial} ({kw})", flush=True)
+    jax.clear_caches()  # drop jit executables -> unmap their JIT code
 print(f"soak: {trials} trials, {fails} fails, "
       f"fallbacks {fallbacks}/{targets} targets")
 sys.exit(1 if fails else 0)
