@@ -63,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--backend",
-        choices=("auto", "xla", "blocked", "pallas", "host", "devbuild"),
+        choices=(
+            "auto", "xla", "blocked", "pallas", "host", "devbuild",
+            "hybrid",
+        ),
         default="auto",
         help="consensus backend (devbuild = graph build + merge + DP + "
         "backtrack all on device)",

@@ -81,7 +81,9 @@ class DagconConfig:
     # Execution backend: "xla" (host graph build + device scan DP),
     # "blocked" (max-plus blocked solve, sqrt(V) depth, guarded exact),
     # "pallas", "host", "devbuild" (graph build + merge + DP +
-    # backtrack all on device, host fallback for flagged targets), or
+    # backtrack all on device, host fallback for flagged targets),
+    # "hybrid" (host engine and devbuild pipeline run concurrently on
+    # group-aligned chunks with rate-adaptive work stealing), or
     # "auto"; host fallback for out-of-bucket targets always.
     backend: str = "auto"
     # Use the native C++ loader/graph engine when available.
@@ -139,7 +141,8 @@ class DagconConfig:
                     "'affine'"
                 )
         if self.backend not in (
-            "auto", "xla", "blocked", "pallas", "host", "devbuild"
+            "auto", "xla", "blocked", "pallas", "host", "devbuild",
+            "hybrid",
         ):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.min_weight < 0 or self.min_length < 0 or self.trim < 0:

@@ -1,0 +1,305 @@
+"""Additive hybrid scheduler: host engine + device pipeline in parallel.
+
+The reference parallelizes consensus over targets with a pthread
+reader/worker/writer pool (src/cpp/main.cpp + BoundedBuffer.hpp,
+SURVEY.md §3.1). Every earlier backend here either replaces host work
+with device work (xla/blocked: device DP) or moves whole stages to the
+chip (devbuild) — so on a box where the host engine is fast, the chip
+at best breaks even on the stage it takes over. This module instead
+treats the chip as *one more worker next to the host cores*: the host
+C++ engine and the devbuild device pipeline consume target-group-
+aligned chunks concurrently from one queue, and their outputs are
+re-ordered to input order, so the FASTA is byte-identical to every
+other backend (chunks are independent streams; each group's consensus
+depends only on its own records).
+
+Work distribution is rate-adaptive, not round-robin. The device worker
+pulls a chunk only when the measured backlog justifies it: with h =
+EMA host seconds/group and d = EMA device seconds/group, it pulls iff
+the queued groups would take the host longer than one device chunk
+(queued * h >= margin * d; while the chunker is still reading, the
+backlog is treated as full). Consequences:
+
+- on a fast host + slow device (tunneled dev box) the device tapers to
+  zero steals near end-of-stream instead of stretching the critical
+  path with one long trailing chunk;
+- on a real TPU host (device pipeline faster than the host cores) the
+  same rule lets the device pull almost everything;
+- neither case needs configuration — both rates are measured in-run.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import io as _io
+import logging
+import os
+import threading
+import time
+from typing import Iterable, Iterator, TextIO
+
+from pbdagcon_tpu.config import DagconConfig
+from pbdagcon_tpu.io import FastaWriter, sid_of_line
+
+log = logging.getLogger("pbdagcon_tpu")
+
+_WORKER_DONE = object()
+
+
+def iter_group_chunks(
+    stream: TextIO | Iterable[str], fmt: str, groups_per_chunk: int
+) -> Iterator[tuple[bytes, int]]:
+    """Split a record stream into byte chunks cut at target-group
+    boundaries (>= 1 whole group per chunk; blank lines dropped).
+    Yields (chunk_bytes, group_count); concatenating the chunks
+    reproduces the input's record lines in order."""
+    cur: str | None = None
+    acc: list[bytes] = []
+    n = 0
+    for line in stream:
+        s = line if isinstance(line, str) else line.decode()
+        if not s.strip():
+            continue
+        sid = sid_of_line(s, fmt)
+        if sid != cur:
+            if n >= groups_per_chunk and acc:
+                yield b"".join(acc), n
+                acc, n = [], 0
+            cur = sid
+            n += 1
+        acc.append((s if s.endswith("\n") else s + "\n").encode())
+    if acc:
+        yield b"".join(acc), n
+
+
+def run_stream_hybrid(
+    stream: TextIO | Iterable[str],
+    out: FastaWriter,
+    cfg: DagconConfig,
+    stats,
+    journal=None,
+    groups_per_chunk: int | None = None,
+):
+    """Run the hybrid host+device scheduler over one record stream."""
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.devpipe import run_devbuild_native
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    if groups_per_chunk is None:
+        # Small enough for fine-grained balance (the host drains one in
+        # ~100ms at bench rates), big enough that a device window
+        # amortizes its fixed dispatch cost.
+        groups_per_chunk = min(64, max(4, cfg.batch_targets // 2))
+    maxq = 8
+    margin = 1.2
+    force_dev = os.environ.get("DAGCON_HYBRID_FORCE_DEV", "0") == "1"
+
+    cv = threading.Condition()
+    pending: collections.deque = collections.deque()
+    chunker_done = [False]
+    abort = [False]
+    h_spg: list[float | None] = [None]  # host seconds/group (EMA)
+    d_spg: list[float | None] = [None]  # device seconds/group (EMA)
+    errors: list[BaseException] = []
+
+    import queue as _queue
+
+    resq: "_queue.Queue[object]" = _queue.Queue()
+
+    def _ema(slot: list, val: float) -> None:
+        slot[0] = val if slot[0] is None else 0.7 * slot[0] + 0.3 * val
+
+    def chunker() -> None:
+        idx = 0
+        try:
+            for data, n in iter_group_chunks(
+                stream, cfg.fmt, groups_per_chunk
+            ):
+                with cv:
+                    while len(pending) >= maxq and not abort[0]:
+                        cv.wait(0.2)
+                    if abort[0]:
+                        return
+                    pending.append((idx, data, n))
+                    idx += 1
+                    cv.notify_all()
+        except BaseException as e:  # pragma: no cover - IO errors
+            errors.append(e)
+            with cv:
+                abort[0] = True
+        finally:
+            with cv:
+                chunker_done[0] = True
+                cv.notify_all()
+
+    def _dev_should_pull() -> bool:
+        # Called under cv. While the chunker is still reading, the
+        # backlog is effectively unbounded — the device always helps.
+        # After EOF the queue is the whole remaining tail: pull only if
+        # the device's chunk (d * n seconds) finishes inside the host's
+        # drain of the REST of the queue, so a slow device never
+        # becomes the critical-path tail.
+        if force_dev:
+            return True
+        if not chunker_done[0]:
+            # Leave at least one queued chunk to the host in case EOF
+            # is imminent (the done flag is set a beat after the last
+            # chunk is queued).
+            return len(pending) >= 2
+        h = h_spg[0]
+        if h is None:
+            return False  # host rate unmeasured: let the host lead
+        d = d_spg[0] if d_spg[0] is not None else 8.0 * h
+        n = pending[0][2]
+        rest = sum(nn for _, _, nn in pending) - n
+        return margin * d * n <= rest * h
+
+    def get_chunk(is_dev: bool):
+        with cv:
+            while True:
+                if abort[0]:
+                    return None
+                if pending:
+                    if not is_dev or _dev_should_pull():
+                        item = pending.popleft()
+                        cv.notify_all()
+                        return item
+                    if chunker_done[0]:
+                        return None  # backlog too small: retire
+                elif chunker_done[0]:
+                    return None
+                cv.wait(0.2)
+
+    def host_worker() -> None:
+        eng = None
+        try:
+            eng = native.NativeEngine(
+                min_weight=cfg.min_weight, min_length=cfg.min_length,
+                trim=cfg.trim, threads=cfg.threads, align=cfg.align,
+                scorer=cfg.align_scorer, affine_params=cfg.affine_params,
+            )
+            while True:
+                item = get_chunk(False)
+                if item is None:
+                    break
+                idx, data, n = item
+                t0 = time.monotonic()
+                text = eng.consensus_text(data, fmt=cfg.fmt, flush=True)
+                _ema(h_spg, (time.monotonic() - t0) / max(1, n))
+                resq.put((idx, text, n, None, False))
+        except BaseException as e:
+            errors.append(e)
+            with cv:
+                abort[0] = True
+                cv.notify_all()
+        finally:
+            if eng is not None:
+                try:
+                    _, drec, dgrp = eng.status()
+                    st = PipelineStats()
+                    st.dropped_records, st.dropped_groups = drec, dgrp
+                    resq.put((-1, "", 0, st, False))
+                except Exception:  # pragma: no cover
+                    pass
+                eng.close()
+            resq.put(_WORKER_DONE)
+
+    def dev_worker() -> None:
+        # The device pipeline's host stages (parse/normalize/encode,
+        # assembly) get a small thread share; the chip is the worker.
+        dcfg = dataclasses.replace(
+            cfg, backend="devbuild", threads=max(1, cfg.threads // 4)
+        )
+        try:
+            while True:
+                item = get_chunk(True)
+                if item is None:
+                    break
+                idx, data, n = item
+                sio = _io.StringIO()
+                st = PipelineStats()
+                t0 = time.monotonic()
+                run_devbuild_native(
+                    _io.BytesIO(data), FastaWriter(sio), dcfg, st
+                )
+                _ema(d_spg, (time.monotonic() - t0) / max(1, n))
+                resq.put((idx, sio.getvalue(), n, st, True))
+        except BaseException as e:
+            errors.append(e)
+            with cv:
+                abort[0] = True
+                cv.notify_all()
+        finally:
+            resq.put(_WORKER_DONE)
+
+    ct = threading.Thread(target=chunker, daemon=True)
+    ht = threading.Thread(target=host_worker, daemon=True)
+    dt = threading.Thread(target=dev_worker, daemon=True)
+    ct.start()
+    ht.start()
+    dt.start()
+
+    # Writer (this thread): re-order chunk outputs to input order.
+    buffered: dict[int, str] = {}
+    expected = 0
+    done_workers = 0
+    dev_chunks = host_chunks = 0
+    try:
+        while done_workers < 2:
+            item = resq.get()
+            if item is _WORKER_DONE:
+                done_workers += 1
+                continue
+            idx, text, n, st, from_dev = item  # type: ignore[misc]
+            if st is not None:
+                stats.batches += st.batches
+                stats.host_fallbacks += st.host_fallbacks
+                stats.dropped_records += st.dropped_records
+                stats.dropped_groups += st.dropped_groups
+            if idx < 0:
+                continue  # stats-only record (host engine close)
+            stats.targets += n
+            if from_dev:
+                dev_chunks += 1
+            else:
+                host_chunks += 1
+            buffered[idx] = text
+            while expected in buffered:
+                t = buffered.pop(expected)
+                expected += 1
+                if not t:
+                    continue
+                out.stream.write(t)
+                stats.fragments += t.count(">")
+                for l in t.splitlines():
+                    if l.startswith(">"):
+                        if journal is not None:
+                            journal.mark(l[1:].rsplit("/", 1)[0])
+                    else:
+                        stats.consensus_bases += len(l)
+    finally:
+        with cv:
+            abort[0] = abort[0] or bool(errors)
+            cv.notify_all()
+        ct.join(timeout=60)
+        ht.join(timeout=60)
+        dt.join(timeout=60)
+    if errors:
+        raise errors[0]
+    if buffered:  # pragma: no cover - defensive
+        for idx in sorted(buffered):
+            t = buffered[idx]
+            out.stream.write(t)
+            stats.fragments += t.count(">")
+            stats.consensus_bases += sum(
+                len(l) for l in t.splitlines() if not l.startswith(">")
+            )
+    stats.hybrid_host_chunks = host_chunks
+    stats.hybrid_dev_chunks = dev_chunks
+    log.info(
+        "hybrid: host_chunks=%d dev_chunks=%d (h=%.4fs/grp d=%s)",
+        host_chunks, dev_chunks, h_spg[0] or -1.0,
+        f"{d_spg[0]:.4f}s/grp" if d_spg[0] is not None else "unmeasured",
+    )
+    return stats

@@ -67,6 +67,9 @@ class PipelineStats:
     # (backbone recovery/build failed) are counted and logged.
     dropped_records: int = 0
     dropped_groups: int = 0
+    # Hybrid-scheduler accounting: chunks processed by each worker.
+    hybrid_host_chunks: int = 0
+    hybrid_dev_chunks: int = 0
 
 
 def resolve_backend(cfg: DagconConfig) -> str:
@@ -750,6 +753,30 @@ def run_stream(
     enable_compile_cache()
     stats = PipelineStats()
     backend = resolve_backend(cfg)
+    if backend == "hybrid":
+        from pbdagcon_tpu import native as _native
+
+        have_native = cfg.use_native and _native.available()
+        try:
+            import jax
+
+            have_dev = bool(jax.devices())
+        except Exception:  # pragma: no cover - no jax / no devices
+            have_dev = False
+        if have_native and have_dev:
+            from pbdagcon_tpu.hybrid import run_stream_hybrid
+
+            run_stream_hybrid(stream, out, cfg, stats, journal=journal)
+            log.info(
+                "hybrid: targets=%d fragments=%d bases=%d batches=%d "
+                "host_fallbacks=%d",
+                stats.targets, stats.fragments, stats.consensus_bases,
+                stats.batches, stats.host_fallbacks,
+            )
+            return stats
+        # Degrade: no native engine or no device — take the best
+        # single-worker path available instead.
+        backend = "host" if have_native else "xla"
     if backend == "devbuild":
         from pbdagcon_tpu import native as _native
         from pbdagcon_tpu.devpipe import (
