@@ -73,24 +73,77 @@ def iter_group_chunks(
         yield b"".join(acc), n
 
 
+def _last_group_cut(complete: bytes, fmt: str) -> int:
+    """Byte offset in `complete` (which ends with b'\\n') of the first
+    line of its LAST group, or 0 if it is all one group. Scans lines
+    backward from the end — O(group) work per chunk, not O(chunk)."""
+    end = len(complete)
+    sid: str | None = None
+    start = end
+    while start > 0:
+        nl = complete.rfind(b"\n", 0, start - 1)
+        s2 = nl + 1
+        line = complete[s2:start]
+        if line.strip():
+            cur = sid_of_line(line.decode(), fmt)
+            if sid is None:
+                sid = cur
+            elif cur != sid:
+                return start
+        start = s2
+    return 0
+
+
+def iter_group_chunks_blocks(
+    stream, fmt: str, chunk_bytes: int
+) -> Iterator[bytes]:
+    """Group-aligned byte chunks from a file-like stream: read big
+    blocks, cut each at the start of its last (possibly incomplete)
+    group. Only the trailing group's lines are ever scanned in Python,
+    so the chunker costs ~nothing per byte."""
+    carry = b""
+    while True:
+        blk = stream.read(chunk_bytes)
+        if not blk:
+            break
+        if isinstance(blk, str):
+            blk = blk.encode()
+        data = carry + blk
+        nl = data.rfind(b"\n")
+        if nl < 0:
+            carry = data
+            continue
+        complete, partial = data[: nl + 1], data[nl + 1 :]
+        cut = _last_group_cut(complete, fmt)
+        if cut == 0:  # single giant group: keep reading
+            carry = data
+            continue
+        yield complete[:cut]
+        carry = complete[cut:] + partial
+    if carry.strip():
+        yield carry if carry.endswith(b"\n") else carry + b"\n"
+
+
 def run_stream_hybrid(
     stream: TextIO | Iterable[str],
     out: FastaWriter,
     cfg: DagconConfig,
     stats,
     journal=None,
-    groups_per_chunk: int | None = None,
+    chunk_bytes: int | None = None,
 ):
     """Run the hybrid host+device scheduler over one record stream."""
     from pbdagcon_tpu import native
     from pbdagcon_tpu.devpipe import run_devbuild_native
     from pbdagcon_tpu.pipeline import PipelineStats
 
-    if groups_per_chunk is None:
+    if chunk_bytes is None:
         # Small enough for fine-grained balance (the host drains one in
         # ~100ms at bench rates), big enough that a device window
-        # amortizes its fixed dispatch cost.
-        groups_per_chunk = min(64, max(4, cfg.batch_targets // 2))
+        # amortizes its fixed dispatch cost. Env knob for tests.
+        chunk_bytes = (
+            int(os.environ.get("DAGCON_HYBRID_CHUNK_KB", "3072")) << 10
+        )
     maxq = 8
     margin = 1.2
     force_dev = os.environ.get("DAGCON_HYBRID_FORCE_DEV", "0") == "1"
@@ -99,8 +152,8 @@ def run_stream_hybrid(
     pending: collections.deque = collections.deque()
     chunker_done = [False]
     abort = [False]
-    h_spg: list[float | None] = [None]  # host seconds/group (EMA)
-    d_spg: list[float | None] = [None]  # device seconds/group (EMA)
+    h_spb: list[float | None] = [None]  # host seconds/byte (EMA)
+    d_spb: list[float | None] = [None]  # device seconds/byte (EMA)
     errors: list[BaseException] = []
 
     import queue as _queue
@@ -113,15 +166,22 @@ def run_stream_hybrid(
     def chunker() -> None:
         idx = 0
         try:
-            for data, n in iter_group_chunks(
-                stream, cfg.fmt, groups_per_chunk
-            ):
+            if hasattr(stream, "read"):
+                it = iter_group_chunks_blocks(stream, cfg.fmt, chunk_bytes)
+            else:  # line iterable: per-line fallback (rare path)
+                it = (
+                    c
+                    for c, _n in iter_group_chunks(
+                        stream, cfg.fmt, max(1, chunk_bytes // 2048)
+                    )
+                )
+            for data in it:
                 with cv:
                     while len(pending) >= maxq and not abort[0]:
                         cv.wait(0.2)
                     if abort[0]:
                         return
-                    pending.append((idx, data, n))
+                    pending.append((idx, data))
                     idx += 1
                     cv.notify_all()
         except BaseException as e:  # pragma: no cover - IO errors
@@ -147,12 +207,12 @@ def run_stream_hybrid(
             # is imminent (the done flag is set a beat after the last
             # chunk is queued).
             return len(pending) >= 2
-        h = h_spg[0]
+        h = h_spb[0]
         if h is None:
             return False  # host rate unmeasured: let the host lead
-        d = d_spg[0] if d_spg[0] is not None else 8.0 * h
-        n = pending[0][2]
-        rest = sum(nn for _, _, nn in pending) - n
+        d = d_spb[0] if d_spb[0] is not None else 8.0 * h
+        n = len(pending[0][1])
+        rest = sum(len(dd) for _, dd in pending) - n
         return margin * d * n <= rest * h
 
     def get_chunk(is_dev: bool):
@@ -179,15 +239,18 @@ def run_stream_hybrid(
                 trim=cfg.trim, threads=cfg.threads, align=cfg.align,
                 scorer=cfg.align_scorer, affine_params=cfg.affine_params,
             )
+            prev_done = 0
             while True:
                 item = get_chunk(False)
                 if item is None:
                     break
-                idx, data, n = item
+                idx, data = item
                 t0 = time.monotonic()
                 text = eng.consensus_text(data, fmt=cfg.fmt, flush=True)
-                _ema(h_spg, (time.monotonic() - t0) / max(1, n))
-                resq.put((idx, text, n, None, False))
+                _ema(h_spb, (time.monotonic() - t0) / max(1, len(data)))
+                td = eng.targets_done
+                resq.put((idx, text, td - prev_done, None, False))
+                prev_done = td
         except BaseException as e:
             errors.append(e)
             with cv:
@@ -216,15 +279,15 @@ def run_stream_hybrid(
                 item = get_chunk(True)
                 if item is None:
                     break
-                idx, data, n = item
+                idx, data = item
                 sio = _io.StringIO()
                 st = PipelineStats()
                 t0 = time.monotonic()
                 run_devbuild_native(
                     _io.BytesIO(data), FastaWriter(sio), dcfg, st
                 )
-                _ema(d_spg, (time.monotonic() - t0) / max(1, n))
-                resq.put((idx, sio.getvalue(), n, st, True))
+                _ema(d_spb, (time.monotonic() - t0) / max(1, len(data)))
+                resq.put((idx, sio.getvalue(), st.targets, st, True))
         except BaseException as e:
             errors.append(e)
             with cv:
@@ -298,8 +361,9 @@ def run_stream_hybrid(
     stats.hybrid_host_chunks = host_chunks
     stats.hybrid_dev_chunks = dev_chunks
     log.info(
-        "hybrid: host_chunks=%d dev_chunks=%d (h=%.4fs/grp d=%s)",
-        host_chunks, dev_chunks, h_spg[0] or -1.0,
-        f"{d_spg[0]:.4f}s/grp" if d_spg[0] is not None else "unmeasured",
+        "hybrid: host_chunks=%d dev_chunks=%d (host=%s dev=%s)",
+        host_chunks, dev_chunks,
+        f"{1e-6 / h_spb[0]:.1f}MB/s" if h_spb[0] else "unmeasured",
+        f"{1e-6 / d_spb[0]:.1f}MB/s" if d_spb[0] else "unmeasured",
     )
     return stats

@@ -38,6 +38,32 @@ def test_iter_group_chunks_boundaries_and_reassembly():
     assert all(n >= 2 for _, n in chunks[:-1])
 
 
+def test_block_chunker_group_aligned_reassembly():
+    from pbdagcon_tpu.hybrid import iter_group_chunks_blocks
+
+    text = _workload(n_targets=9)
+    for cb in (1 << 10, 4 << 10, 1 << 20):
+        chunks = list(
+            iter_group_chunks_blocks(_io.StringIO(text), "m5", cb)
+        )
+        assert b"".join(chunks).decode() == text
+        for a, b in zip(chunks, chunks[1:]):
+            last = a.decode().splitlines()[-1]
+            first = b.decode().splitlines()[0]
+            assert sid_of_line(last, "m5") != sid_of_line(first, "m5")
+
+
+def test_block_chunker_single_group_and_no_trailing_newline():
+    from pbdagcon_tpu.hybrid import iter_group_chunks_blocks
+
+    text = _workload(n_targets=1)
+    chunks = list(
+        iter_group_chunks_blocks(_io.StringIO(text.rstrip("\n")), "m5", 512)
+    )
+    assert len(chunks) == 1
+    assert chunks[0].decode() == text
+
+
 def test_iter_group_chunks_drops_blank_lines():
     text = _workload(n_targets=3)
     noisy = text.replace("\n", "\n\n", 4)
@@ -60,6 +86,7 @@ def test_hybrid_matches_host(monkeypatch):
     # a cold device idle on a tiny input), then require byte parity and
     # that BOTH workers actually processed chunks.
     monkeypatch.setenv("DAGCON_HYBRID_FORCE_DEV", "1")
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "8")
     text = _workload(n_targets=12, cov=8)
     host, _ = _run(text, "host")
     hyb, stats = _run(text, "hybrid", batch_targets=4)
@@ -70,9 +97,10 @@ def test_hybrid_matches_host(monkeypatch):
 
 
 @pytest.mark.skipif(not native.ensure_built(), reason="no native engine")
-def test_hybrid_unforced_parity():
+def test_hybrid_unforced_parity(monkeypatch):
     # Without forcing, the rate rule may route everything to the host;
     # output must still be byte-identical and complete.
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "8")
     text = _workload(n_targets=8, cov=8, seed=11)
     host, _ = _run(text, "host")
     hyb, stats = _run(text, "hybrid", batch_targets=4)
@@ -83,6 +111,7 @@ def test_hybrid_unforced_parity():
 @pytest.mark.skipif(not native.ensure_built(), reason="no native engine")
 def test_hybrid_journal(tmp_path, monkeypatch):
     monkeypatch.setenv("DAGCON_HYBRID_FORCE_DEV", "1")
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "8")
     from pbdagcon_tpu.parallel.journal import TargetJournal
 
     text = _workload(n_targets=6, cov=8, seed=7)
