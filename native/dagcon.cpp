@@ -274,6 +274,50 @@ static inline void prefix_max_i32(int32_t* x, int n, int32_t carry) {
 #endif
 }
 
+// Fused left-chain solve for one aligner row: out[k] = max_{k'<=k}
+// (x[k'] + GAP*(k-k')) with `carry` seeding position -1. x[] holds
+// a-space candidates (cand[k] - GAP*k); the scan is a plain prefix max
+// there, and the store de-ramps back to score space. One sweep instead
+// of prefix_max + two ramp passes; all ops are int32 adds/maxes, so
+// the result is bit-identical to the sequential chain.
+static inline void prefix_max_store_i32(const int32_t* x, int32_t* out,
+                                        int n, int32_t carry,
+                                        int32_t gap) {
+#if defined(__AVX512F__)
+  int j = 0;
+  __m512i c = _mm512_set1_epi32(carry);
+  const __m512i ninf = _mm512_set1_epi32(INT32_MIN);
+  const __m512i lane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                         10, 11, 12, 13, 14, 15);
+  const __m512i ramp0 =
+      _mm512_mullo_epi32(lane, _mm512_set1_epi32(gap));
+  const __m512i step = _mm512_set1_epi32(gap * 16);
+  __m512i ramp = ramp0;
+  for (; j + 16 <= n; j += 16) {
+    __m512i v = _mm512_loadu_si512((const void*)(x + j));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 15));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 14));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 12));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 8));
+    v = _mm512_max_epi32(v, c);
+    _mm512_storeu_si512((void*)(out + j), _mm512_add_epi32(v, ramp));
+    ramp = _mm512_add_epi32(ramp, step);
+    c = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+  }
+  int32_t run = _mm_cvtsi128_si32(_mm512_castsi512_si128(c));
+  for (; j < n; ++j) {
+    if (x[j] > run) run = x[j];
+    out[j] = run + gap * j;
+  }
+#else
+  int32_t run = carry;
+  for (int j = 0; j < n; ++j) {
+    if (x[j] > run) run = x[j];
+    out[j] = run + gap * j;
+  }
+#endif
+}
+
 // Banded global pairwise aligner (SPEC §1.5) — the SimpleAligner
 // equivalent (reference `src/cpp/SimpleAligner.cpp` wraps blasr_libcpp's
 // guided aligner, SURVEY.md §2 C8; reconstructed, mount empty). Integer
@@ -338,7 +382,8 @@ static void align_pair(const std::string& q, const std::string& t,
     const int32_t* prev = band + (size_t)(i - 1) * Wb;
     int32_t plo = lo[i - 1], phi = hi[i - 1];
     int32_t* row = band + (size_t)i * Wb;
-    // Pass 1 (vectorizable): tmp[j] = max(diag + sub, up + GAP).
+    // Pass 1 (vectorizable): tmp holds the A-SPACE candidate
+    // a[k] = max(diag + sub, up + GAP) - GAP*k (k = band index).
     // Interior cells read the previous band contiguously; edges where
     // the previous row's band doesn't cover j-1 / j are patched after.
     if (i == 1) {
@@ -346,7 +391,7 @@ static void align_pair(const std::string& q, const std::string& t,
         int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
         int32_t v = A_GAP * (j - 1) + sub;
         int32_t u2 = A_GAP * j + A_GAP;
-        tmp[j - l] = v > u2 ? v : u2;
+        tmp[j - l] = (v > u2 ? v : u2) - A_GAP * (j - l);
       }
     } else {
       int32_t j0 = std::max(l, plo + 1);   // j-1 >= plo
@@ -356,11 +401,12 @@ static void align_pair(const std::string& q, const std::string& t,
       const char* tb = t.data() + (j0 - 1);
       int32_t* tp = tmp + (j0 - l);
       int32_t cnt = j1 - j0 + 1;
+      const int32_t off = j0 - l;
       for (int32_t k = 0; k < cnt; ++k) {
         int32_t sub = (qc == tb[k]) ? A_MATCH : A_MISMATCH;
         int32_t v = pd[k] + sub;
         int32_t u2 = pu[k] + A_GAP;
-        tp[k] = v > u2 ? v : u2;
+        tp[k] = (v > u2 ? v : u2) - A_GAP * (k + off);
       }
       // Edge cells (at most a few per row).
       for (int32_t j = l; j < j0 && j <= h; ++j) {
@@ -371,7 +417,7 @@ static void align_pair(const std::string& q, const std::string& t,
         int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
         int32_t v = diag + sub;
         int32_t u2 = up + A_GAP;
-        tmp[j - l] = v > u2 ? v : u2;
+        tmp[j - l] = (v > u2 ? v : u2) - A_GAP * (j - l);
       }
       for (int32_t j = std::max(j1 + 1, l); j <= h; ++j) {
         int32_t diag = (j - 1 < plo || j - 1 > phi) ? A_NEG
@@ -380,17 +426,15 @@ static void align_pair(const std::string& q, const std::string& t,
         int32_t sub = (qc == t[j - 1]) ? A_MATCH : A_MISMATCH;
         int32_t v = diag + sub;
         int32_t u2 = up + A_GAP;
-        tmp[j - l] = v > u2 ? v : u2;
+        tmp[j - l] = (v > u2 ? v : u2) - A_GAP * (j - l);
       }
     }
-    // Pass 2: row[k] = max_{k'<=k}(tmp[k'] + GAP*(k-k')) with the left
-    // border as seed. In a-space (a[k] = tmp[k] - GAP*k) this is a
-    // prefix max — integer-exact under any association, so the SIMD
-    // scan is bit-identical to the serial chain.
-    const int32_t cnt2 = h - l + 1;
-    for (int32_t k = 0; k < cnt2; ++k) tmp[k] -= A_GAP * k;
-    prefix_max_i32(tmp, cnt2, get(i, l - 1) + A_GAP);
-    for (int32_t k = 0; k < cnt2; ++k) row[k] = tmp[k] + A_GAP * k;
+    // Pass 2: row[k] = max_{k'<=k}(tmp-space) + GAP*k with the left
+    // border as a-space seed — one fused scan+store sweep. Integer
+    // max/add is exact under any association, so this is bit-identical
+    // to the sequential left chain.
+    prefix_max_store_i32(tmp, row, h - l + 1, get(i, l - 1) + A_GAP,
+                         A_GAP);
   }
   // Traceback; tie-break diagonal > up (gap in t) > left (gap in q).
   std::string& qs = as.qs;
