@@ -753,6 +753,23 @@ def run_stream(
     enable_compile_cache()
     stats = PipelineStats()
     backend = resolve_backend(cfg)
+    if cfg.backend == "auto" and backend == "xla" and cfg.use_native:
+        # On a real accelerator with the native engine present, the
+        # additive hybrid scheduler dominates: it is never materially
+        # slower than the pure host engine (rate-adaptive stealing
+        # tapers a slow device to zero) and strictly faster when the
+        # chip helps. Keep CPU-only hosts on the xla path — there the
+        # "device" is the same cores the host engine runs on.
+        try:
+            import jax
+
+            if jax.devices()[0].platform != "cpu":
+                from pbdagcon_tpu import native as _native
+
+                if _native.available():
+                    backend = "hybrid"
+        except Exception:  # pragma: no cover - no jax / no devices
+            pass
     if backend == "hybrid":
         from pbdagcon_tpu import native as _native
 
