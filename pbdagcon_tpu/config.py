@@ -21,14 +21,16 @@ def enable_compile_cache() -> None:
     makes that a one-time cost across processes. Directory from
     DAGCON_JAX_CACHE (value "0" or "" disables), default
     ~/.cache/pbdagcon-tpu/jax."""
-    path = os.environ.get(
-        "DAGCON_JAX_CACHE",
-        os.path.join(
-            os.path.expanduser("~"), ".cache", "pbdagcon-tpu", "jax"
-        ),
+    default = os.path.join(
+        os.path.expanduser("~"), ".cache", "pbdagcon-tpu", "jax"
     )
+    path = os.environ.get("DAGCON_JAX_CACHE", default)
     if not path or path == "0":
         return
+    # "1" means "enabled" (use the default dir), not a relative directory
+    # named 1/ — that once landed a binary cache blob inside the repo.
+    if path == "1":
+        path = default
     try:
         import jax
 
