@@ -432,9 +432,10 @@ def run_devbuild_native(
             dp_scores_blocked,
         )
 
-        # Blocked max-plus solve when the f32-exactness bound holds
-        # (edge counts/coverage are bounded by the batch's read cap, so
-        # 1.5 * R + 10 bounds every |escore|) AND the band is narrow:
+        # Blocked int32 max-plus solve when the half-unit range bound
+        # holds (edge counts/coverage are bounded by the batch's read
+        # cap, so 1.5 * R + 10 bounds every |escore|; the int32 bound
+        # admits any realistic depth) AND the band is narrow:
         # the block algebra does ~W^2 work per node vs the scan's W, so
         # it wins at the host-arena W=16 (6.1 vs 14.5 ms/[256,4608])
         # but loses 25% end to end at devbuild's W=96 (measured). Rows

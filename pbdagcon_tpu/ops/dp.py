@@ -617,8 +617,9 @@ def _blocked_eligible(batch: dict, V: int) -> bool:
     """Host-side guard for routing an arena batch through the blocked
     solve: block size divides V, the band is narrow (the block algebra
     does ~W^2 work per node vs the scan's W — it wins 2.4x at W=16 and
-    loses at W>=96, measured), and the f32-exactness bound holds for
-    this batch's count/coverage magnitudes (ops/dp_blocked.py)."""
+    loses at W>=96, measured), and the int32 half-unit bound holds for
+    this batch's count/coverage magnitudes (ops/dp_blocked.py) — ~32x
+    looser than the old f32 guard, admitting 100-500x-depth pileups."""
     if V % 64 != 0 or batch["win_count"].shape[2] > 32:
         return False
     from pbdagcon_tpu.ops.dp_blocked import blocked_safe
@@ -741,10 +742,11 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
     native `pack_batch`) asynchronously; materialize with np.asarray.
     The batch dim may come back padded — callers index rows 0..B-1.
 
-    Backends: "xla" sequential scan; "blocked" max-plus blocked solve
-    (sqrt(V) depth) with a bit-exactness guard — falls back to the scan
-    when path sums could round (see ops/dp_blocked.py) or when a row's
-    long-edge iteration fails to converge; "pallas" handwritten kernel.
+    Backends: "xla" sequential scan; "blocked" int32 max-plus blocked
+    solve (sqrt(V) depth) — exact by integer construction, guarded only
+    against int32-range overflow and the f32-parity line (see
+    ops/dp_blocked.py); rows whose long-edge iteration fails to
+    converge fall back to the scan; "pallas" handwritten kernel.
 
     Batches packed into an arena (native pack_batch) take the
     single-transfer fast path on the xla backend.

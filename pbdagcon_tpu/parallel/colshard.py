@@ -14,10 +14,14 @@ chain over the ring:
    `ppermute` (D sequential hops — the halo exchange);
 3. every device fills its interior scores locally in parallel.
 
-Exactness follows the blocked-DP argument (ops/dp_blocked.py): all
-sums are f32-exact under `blocked_safe`, so reassociation is bitwise
-safe; targets with long edges (span > W) are not eligible here and take
-the single-device path (the caller checks `lin.span`).
+Exactness follows the blocked-DP argument (ops/dp_blocked.py): the
+algebra runs in **int32 half-units**, where reassociation is exact by
+construction; `blocked_safe` bounds keep real sums within int32 and
+separated from the -inf sentinel, and the caller checks the returned
+scores against the f32-parity line (all |2s| < 2^24 - 2^17 so the f32
+spec scan provably computes the same values). Targets with long edges
+(span > W) are not eligible here and take the single-device path (the
+caller checks `lin.span`).
 """
 
 from __future__ import annotations
@@ -29,7 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pbdagcon_tpu.ops.dp_blocked import _esc_dense
+from pbdagcon_tpu.ops.dp_blocked import (
+    _F32_LIMIT,
+    _REAL_MIN,
+    SENT,
+    _esc2_dense,
+)
 
 NEG_INF = np.float32(-np.inf)
 
@@ -37,13 +46,13 @@ NEG_INF = np.float32(-np.inf)
 def _compose_local(a_rows: jax.Array, Wp: int, axis: str | None = None) -> jax.Array:
     """Compose companion-row transfer matrices over local rows (top row
     first): M = A_0 (x) A_1 (x) ... (x) A_{L-1}. [L, Wp] -> [Wp, Wp]."""
-    eye = jnp.full((Wp, Wp), NEG_INF, jnp.float32)
-    eye = eye.at[jnp.arange(Wp), jnp.arange(Wp)].set(0.0)
+    eye = jnp.full((Wp, Wp), SENT, jnp.int32)
+    eye = eye.at[jnp.arange(Wp), jnp.arange(Wp)].set(0)
     if axis is not None:  # inside shard_map: mark carry device-varying
         eye = jax.lax.pcast(eye, (axis,), to="varying")
 
     def compose(M, a):
-        row0 = jnp.max(a[:, None] + M, axis=0)  # [Wp]
+        row0 = jnp.maximum(jnp.max(a[:, None] + M, axis=0), SENT)  # [Wp]
         return (
             jnp.concatenate(
                 [row0[None, :], M[0 : Wp - 2, :], M[Wp - 1 :, :]], axis=0
@@ -57,8 +66,9 @@ def _compose_local(a_rows: jax.Array, Wp: int, axis: str | None = None) -> jax.A
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))
 def _colsharded_scores(a_rows: jax.Array, mesh: Mesh, axis: str):
-    """a_rows [V, Wp] f32 (esc rows + exit column), V sharded over
-    `axis`. Returns scores [V] f32 with the same sharding."""
+    """a_rows [V, Wp] int32 half-units (esc rows + exit column), V
+    sharded over `axis`. Returns half-unit scores [V] int32 with the
+    same sharding."""
     D = mesh.shape[axis]
     Wp = a_rows.shape[1]
     W = Wp - 1
@@ -69,7 +79,7 @@ def _colsharded_scores(a_rows: jax.Array, mesh: Mesh, axis: str):
         M = _compose_local(a_local, Wp, axis=axis)
 
         # Boundary chain: x starts below the LAST shard and hops left.
-        x0 = jnp.full((Wp,), NEG_INF, jnp.float32).at[W].set(0.0)
+        x0 = jnp.full((Wp,), SENT, jnp.int32).at[W].set(0)
         x0 = jax.lax.pcast(x0, (axis,), to="varying")
 
         # After i hops, shard D-1-i has received its incoming boundary.
@@ -80,7 +90,11 @@ def _colsharded_scores(a_rows: jax.Array, mesh: Mesh, axis: str):
             x, x_in = carry
             active = my == (D - 1 - i)
             x_in = jnp.where(active, x, x_in)
-            x_out = jnp.where(active, jnp.max(M + x[None, :], axis=1), x)
+            x_out = jnp.where(
+                active,
+                jnp.maximum(jnp.max(M + x[None, :], axis=1), SENT),
+                x,
+            )
             x_next = jax.lax.ppermute(
                 x_out, axis, [(d, (d - 1) % D) for d in range(D)]
             )
@@ -88,7 +102,7 @@ def _colsharded_scores(a_rows: jax.Array, mesh: Mesh, axis: str):
             return (jnp.where(take, x_next, x), x_in), None
 
         x_in0 = jax.lax.pcast(
-            jnp.full((Wp,), NEG_INF, jnp.float32), (axis,), to="varying"
+            jnp.full((Wp,), SENT, jnp.int32), (axis,), to="varying"
         )
         (x_final, x_in), _ = jax.lax.scan(
             scan_hop, (x0, x_in0), jnp.arange(D, dtype=jnp.int32)
@@ -101,7 +115,7 @@ def _colsharded_scores(a_rows: jax.Array, mesh: Mesh, axis: str):
 
         def fill(win, a):
             cand = jnp.concatenate([a[:W] + win, a[W:]], axis=0)
-            s = jnp.max(cand)
+            s = jnp.maximum(jnp.max(cand), SENT)
             return jnp.concatenate([s[None], win[: W - 1]]), s
 
         _, ys = jax.lax.scan(fill, win0, a_local, reverse=True)
@@ -120,22 +134,28 @@ def colsharded_scores(
     mesh: Mesh,
     axis: str = "targets",
 ) -> np.ndarray:
-    """Column-sharded DP scores for one target. The caller guarantees
-    no long edges (lin.span <= W) and `blocked_safe` bounds."""
+    """Column-sharded DP scores for one target, f32 (bitwise equal to
+    the sequential f32 scan). The caller guarantees no long edges
+    (lin.span <= W) and `blocked_safe` bounds. Raises OverflowError if
+    any score crosses the f32-parity line (caller falls back to the
+    exact host path)."""
     D = mesh.shape[axis]
     V, W = win_count.shape
     Vp = -(-V // D) * D
-    esc, e_exit = _esc_dense(
+    esc2, e_exit2 = _esc2_dense(
         jnp.asarray(win_count)[None],
         jnp.asarray(exit_count)[None],
         jnp.asarray(cov)[None],
         jnp.asarray(unsup)[None],
     )
-    a_rows = jnp.concatenate([esc[0], e_exit[0][:, None]], axis=1)
+    a_rows = jnp.concatenate([esc2[0], e_exit2[0][:, None]], axis=1)
     if Vp != V:
-        pad = jnp.full((Vp - V, W + 1), NEG_INF, jnp.float32)
+        pad = jnp.full((Vp - V, W + 1), SENT, jnp.int32)
         a_rows = jnp.concatenate([a_rows, pad], axis=0)
     sharding = NamedSharding(mesh, P(axis))
     a_rows = jax.device_put(a_rows, sharding)
-    s = _colsharded_scores(a_rows, mesh=mesh, axis=axis)
-    return np.asarray(s)[:V]
+    s2 = np.asarray(_colsharded_scores(a_rows, mesh=mesh, axis=axis))[:V]
+    finite = s2 > _REAL_MIN
+    if bool((finite & (np.abs(s2) >= _F32_LIMIT)).any()):
+        raise OverflowError("colshard scores beyond the f32-parity line")
+    return np.where(finite, s2.astype(np.float32) * 0.5, NEG_INF)

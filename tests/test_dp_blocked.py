@@ -76,7 +76,53 @@ def test_blocked_long_edge_iteration_converges():
             )
 
 
+def test_blocked_high_depth_bitwise():
+    """The int32 reformulation's point: depths whose count/coverage
+    magnitudes the old f32 bound rejected now run blocked and stay
+    bitwise equal to the sequential scan / host oracle."""
+    lins = _lins([70], length=60, cov=150)
+    V = 2048
+    assert all(
+        blocked_safe(
+            float(np.abs(l.cov).max(initial=1)) * 1.5 + 10.0, V
+        )
+        for l in lins
+    )
+    scores, unconv = _run_blocked(lins, V)
+    assert not unconv.any()
+    for i, lin in enumerate(lins):
+        hs = host_scores(lin)
+        np.testing.assert_array_equal(scores[i, : lin.n], hs)
+        assert backtrack(lin, scores[i, : lin.n]) == backtrack(lin, hs)
+
+
+def test_blocked_f32_parity_line_flags():
+    """Scores past 2^24 - 2^17 half-units must flag the row (the f32
+    spec scan could round there); synthetic long chain of huge counts."""
+    import jax.numpy as jnp
+
+    V, W = 128, 4
+    win = np.full((1, V, W), -1, np.int32)
+    # Chain u -> u+1 with enormous counts: path sum ~ V * 2c half-units.
+    win[0, :-1, 0] = 70000  # beyond int16 wire, fine as int32 input
+    exit_c = np.full((1, V), -1, np.int32)
+    exit_c[0, -1] = 0
+    cov = np.zeros((1, V), np.int32)
+    uns = np.zeros((1, V), bool)
+    lu = np.full((1, 1), -1, np.int32)
+    s, flag = dp_scores_blocked(
+        jnp.asarray(win), jnp.asarray(exit_c), jnp.asarray(cov),
+        jnp.asarray(uns), jnp.asarray(lu), jnp.asarray(lu),
+        jnp.full((1, 1), -np.inf, np.float32),
+    )
+    assert bool(np.asarray(flag)[0]), "expected f32-parity flag"
+
+
 def test_blocked_safe_guard():
+    # int32 half-unit bound: v * max(|esc|, 10) < 2^27. The 100-500x
+    # depth regime (BASELINE config #3) passes at every bucket size.
     assert blocked_safe(30, 4608)
-    assert blocked_safe(500, 8192)
-    assert not blocked_safe(600, 8192)
+    assert blocked_safe(500, 8192)   # rejected under the old f32 bound
+    assert blocked_safe(760, 16384)  # 500x-depth worst case
+    assert not blocked_safe(20000, 8192)
+    assert not blocked_safe(10000, 16384)
