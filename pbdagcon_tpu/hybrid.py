@@ -13,12 +13,13 @@ re-ordered to input order, so the FASTA is byte-identical to every
 other backend (chunks are independent streams; each group's consensus
 depends only on its own records).
 
-Work distribution is rate-adaptive, not round-robin. The device worker
-pulls a chunk only when the measured backlog justifies it: with h =
-EMA host seconds/group and d = EMA device seconds/group, it pulls iff
-the queued groups would take the host longer than one device chunk
-(queued * h >= margin * d; while the chunker is still reading, the
-backlog is treated as full). Consequences:
+Work distribution is rate-adaptive, not round-robin. Rates are tracked
+as **seconds per input byte** (EMAs weighted by chunk byte sizes): with
+h = EMA host s/byte, d = EMA device s/byte, n = bytes of the head
+chunk, and rest = bytes queued behind it, the device pulls iff its
+chunk finishes inside the host's drain of the rest
+(margin * d * n <= rest * h); while the chunker is still reading, the
+backlog is treated as effectively unbounded. Consequences:
 
 - on a fast host + slow device (tunneled dev box) the device tapers to
   zero steals near end-of-stream instead of stretching the critical
@@ -47,6 +48,48 @@ log = logging.getLogger("pbdagcon_tpu")
 _WORKER_DONE = object()
 
 
+def _sid_of_line(s: str, fmt: str) -> str:
+    """sid_of_line with the engines' malformed-input policy: a record
+    with too few fields raises a diagnosable ValueError instead of a
+    bare IndexError from inside a chunker thread."""
+    try:
+        return sid_of_line(s, fmt)
+    except Exception as e:
+        raise ValueError(
+            f"malformed alignment record in input: {s.strip()[:80]!r}"
+        ) from e
+
+
+def dev_should_pull(
+    pending_sizes: list[int],
+    h_spb: float | None,
+    d_spb: float | None,
+    chunker_done: bool,
+    margin: float = 1.2,
+) -> bool:
+    """The steal rule, as a pure function of queue state and measured
+    per-byte rates (unit-testable without threads or timing).
+
+    While the chunker is still reading, the backlog is effectively
+    unbounded — the device helps whenever >= 2 chunks are queued (one is
+    left to the host in case EOF is imminent). After EOF the queue is
+    the whole remaining tail: the device pulls the head chunk (n bytes)
+    only if its processing (d * n seconds) finishes inside the host's
+    drain of the REST of the queue (rest * h seconds), so a slow device
+    never becomes the critical-path tail. An unmeasured device rate is
+    assumed 8x the host's (pessimistic cold start)."""
+    if not pending_sizes:
+        return False
+    if not chunker_done:
+        return len(pending_sizes) >= 2
+    if h_spb is None:
+        return False  # host rate unmeasured: let the host lead
+    d = d_spb if d_spb is not None else 8.0 * h_spb
+    n = pending_sizes[0]
+    rest = sum(pending_sizes) - n
+    return margin * d * n <= rest * h_spb
+
+
 def iter_group_chunks(
     stream: TextIO | Iterable[str], fmt: str, groups_per_chunk: int
 ) -> Iterator[tuple[bytes, int]]:
@@ -61,7 +104,7 @@ def iter_group_chunks(
         s = line if isinstance(line, str) else line.decode()
         if not s.strip():
             continue
-        sid = sid_of_line(s, fmt)
+        sid = _sid_of_line(s, fmt)
         if sid != cur:
             if n >= groups_per_chunk and acc:
                 yield b"".join(acc), n
@@ -85,7 +128,7 @@ def _last_group_cut(complete: bytes, fmt: str) -> int:
         s2 = nl + 1
         line = complete[s2:start]
         if line.strip():
-            cur = sid_of_line(line.decode(), fmt)
+            cur = _sid_of_line(line.decode(), fmt)
             if sid is None:
                 sid = cur
             elif cur != sid:
@@ -146,12 +189,18 @@ def run_stream_hybrid(
         )
     maxq = 8
     margin = 1.2
+    # Reorder-window cap: don't issue chunk k while chunk k - cap is
+    # still unwritten. Bounds the writer's `buffered` dict (worst case
+    # one stalled worker holds the window open while the other races
+    # ahead) to ~cap * chunk_bytes of FASTA instead of the whole output.
+    reorder_cap = int(os.environ.get("DAGCON_HYBRID_REORDER_CAP", "16"))
     force_dev = os.environ.get("DAGCON_HYBRID_FORCE_DEV", "0") == "1"
 
     cv = threading.Condition()
     pending: collections.deque = collections.deque()
     chunker_done = [False]
     abort = [False]
+    written = [0]  # writer's next-expected chunk idx (under cv)
     h_spb: list[float | None] = [None]  # host seconds/byte (EMA)
     d_spb: list[float | None] = [None]  # device seconds/byte (EMA)
     errors: list[BaseException] = []
@@ -194,26 +243,14 @@ def run_stream_hybrid(
                 cv.notify_all()
 
     def _dev_should_pull() -> bool:
-        # Called under cv. While the chunker is still reading, the
-        # backlog is effectively unbounded — the device always helps.
-        # After EOF the queue is the whole remaining tail: pull only if
-        # the device's chunk (d * n seconds) finishes inside the host's
-        # drain of the REST of the queue, so a slow device never
-        # becomes the critical-path tail.
+        # Called under cv; the rule itself is the pure per-byte
+        # formulation in `dev_should_pull` (see its docstring).
         if force_dev:
             return True
-        if not chunker_done[0]:
-            # Leave at least one queued chunk to the host in case EOF
-            # is imminent (the done flag is set a beat after the last
-            # chunk is queued).
-            return len(pending) >= 2
-        h = h_spb[0]
-        if h is None:
-            return False  # host rate unmeasured: let the host lead
-        d = d_spb[0] if d_spb[0] is not None else 8.0 * h
-        n = len(pending[0][1])
-        rest = sum(len(dd) for _, dd in pending) - n
-        return margin * d * n <= rest * h
+        return dev_should_pull(
+            [len(dd) for _, dd in pending],
+            h_spb[0], d_spb[0], chunker_done[0], margin,
+        )
 
     def get_chunk(is_dev: bool):
         with cv:
@@ -221,6 +258,9 @@ def run_stream_hybrid(
                 if abort[0]:
                     return None
                 if pending:
+                    if pending[0][0] - written[0] > reorder_cap:
+                        cv.wait(0.2)  # bound the reorder window
+                        continue
                     if not is_dev or _dev_should_pull():
                         item = pending.popleft()
                         cv.notify_all()
@@ -247,9 +287,12 @@ def run_stream_hybrid(
                 idx, data = item
                 t0 = time.monotonic()
                 text = eng.consensus_text(data, fmt=cfg.fmt, flush=True)
-                _ema(h_spb, (time.monotonic() - t0) / max(1, len(data)))
+                dt_s = time.monotonic() - t0
+                _ema(h_spb, dt_s / max(1, len(data)))
                 td = eng.targets_done
-                resq.put((idx, text, td - prev_done, None, False))
+                resq.put(
+                    (idx, text, td - prev_done, None, False, dt_s, len(data))
+                )
                 prev_done = td
         except BaseException as e:
             errors.append(e)
@@ -262,7 +305,7 @@ def run_stream_hybrid(
                     _, drec, dgrp = eng.status()
                     st = PipelineStats()
                     st.dropped_records, st.dropped_groups = drec, dgrp
-                    resq.put((-1, "", 0, st, False))
+                    resq.put((-1, "", 0, st, False, 0.0, 0))
                 except Exception:  # pragma: no cover
                     pass
                 eng.close()
@@ -286,8 +329,12 @@ def run_stream_hybrid(
                 run_devbuild_native(
                     _io.BytesIO(data), FastaWriter(sio), dcfg, st
                 )
-                _ema(d_spb, (time.monotonic() - t0) / max(1, len(data)))
-                resq.put((idx, sio.getvalue(), st.targets, st, True))
+                dt_s = time.monotonic() - t0
+                _ema(d_spb, dt_s / max(1, len(data)))
+                resq.put(
+                    (idx, sio.getvalue(), st.targets, st, True, dt_s,
+                     len(data))
+                )
         except BaseException as e:
             errors.append(e)
             with cv:
@@ -314,7 +361,7 @@ def run_stream_hybrid(
             if item is _WORKER_DONE:
                 done_workers += 1
                 continue
-            idx, text, n, st, from_dev = item  # type: ignore[misc]
+            idx, text, n, st, from_dev, dt_s, nbytes = item  # type: ignore[misc]
             if st is not None:
                 stats.batches += st.batches
                 stats.host_fallbacks += st.host_fallbacks
@@ -323,14 +370,25 @@ def run_stream_hybrid(
             if idx < 0:
                 continue  # stats-only record (host engine close)
             stats.targets += n
+            chunk_bases = sum(
+                len(l) for l in text.splitlines() if not l.startswith(">")
+            )
             if from_dev:
                 dev_chunks += 1
+                stats.hybrid_dev_bytes += nbytes
+                stats.hybrid_dev_bases += chunk_bases
+                stats.hybrid_dev_busy_s += dt_s
             else:
                 host_chunks += 1
+                stats.hybrid_host_bytes += nbytes
+                stats.hybrid_host_bases += chunk_bases
+                stats.hybrid_host_busy_s += dt_s
             buffered[idx] = text
+            advanced = False
             while expected in buffered:
                 t = buffered.pop(expected)
                 expected += 1
+                advanced = True
                 if not t:
                     continue
                 out.stream.write(t)
@@ -341,6 +399,10 @@ def run_stream_hybrid(
                             journal.mark(l[1:].rsplit("/", 1)[0])
                     else:
                         stats.consensus_bases += len(l)
+            if advanced:
+                with cv:  # release workers blocked on the reorder cap
+                    written[0] = expected
+                    cv.notify_all()
     finally:
         with cv:
             abort[0] = abort[0] or bool(errors)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Iterable, Iterator, TextIO
 
 import numpy as np
@@ -67,9 +68,18 @@ class PipelineStats:
     # (backbone recovery/build failed) are counted and logged.
     dropped_records: int = 0
     dropped_groups: int = 0
-    # Hybrid-scheduler accounting: chunks processed by each worker.
+    # Hybrid-scheduler accounting: chunks/bytes/consensus-bases processed
+    # by each worker plus per-worker busy seconds, so throughput can be
+    # attributed to the chip vs the host cores honestly (the chip's
+    # share is hybrid_dev_bases / hybrid_dev_busy_s).
     hybrid_host_chunks: int = 0
     hybrid_dev_chunks: int = 0
+    hybrid_host_bytes: int = 0
+    hybrid_dev_bytes: int = 0
+    hybrid_host_bases: int = 0
+    hybrid_dev_bases: int = 0
+    hybrid_host_busy_s: float = 0.0
+    hybrid_dev_busy_s: float = 0.0
 
 
 def resolve_backend(cfg: DagconConfig) -> str:
@@ -658,8 +668,8 @@ def _colshard_oversize(
     """Column-sharded DP for a target that overflows every V bucket
     (SURVEY.md §5 long-context row): shard the node axis over the device
     mesh with a ppermute boundary chain. Returns scores[n+1] or None
-    when ineligible (long edges beyond the W ladder, f32-exactness bound
-    exceeded, or no devices)."""
+    when ineligible (long edges beyond the W ladder, int32 half-unit
+    bound exceeded, scores past the f32-parity line, or no devices)."""
     try:
         import jax
         from jax.sharding import Mesh
@@ -687,6 +697,10 @@ def _colshard_oversize(
         if not blocked_safe(max_esc, V):
             return None
         mesh = Mesh(np.array(devs), ("targets",))
+    except Exception:  # pragma: no cover - any failure -> exact host DP
+        log.warning("colshard path failed; host fallback", exc_info=True)
+        return None
+    try:
         s = colsharded_scores(
             batch["win_count"][0].astype(np.int32),
             batch["exit_count"][0].astype(np.int32),
@@ -698,6 +712,8 @@ def _colshard_oversize(
         full[: lin.n] = s[: lin.n]
         full[lin.n] = 0.0
         return full
+    except OverflowError:  # past the f32-parity line: exact host DP
+        return None
     except Exception:  # pragma: no cover - any failure -> exact host DP
         log.warning("colshard path failed; host fallback", exc_info=True)
         return None
@@ -760,14 +776,24 @@ def run_stream(
         # tapers a slow device to zero) and strictly faster when the
         # chip helps. Keep CPU-only hosts on the xla path — there the
         # "device" is the same cores the host engine runs on.
+        # DAGCON_AUTO_HYBRID=0 opts default runs out (e.g. while soaking
+        # the scheduler on new hardware); --backend overrides either way.
         try:
             import jax
 
-            if jax.devices()[0].platform != "cpu":
+            if (
+                jax.devices()[0].platform != "cpu"
+                and os.environ.get("DAGCON_AUTO_HYBRID", "1") != "0"
+            ):
                 from pbdagcon_tpu import native as _native
 
                 if _native.available():
                     backend = "hybrid"
+                    log.warning(
+                        "backend=auto resolved to the hybrid scheduler "
+                        "(host engine + device pipeline); set "
+                        "DAGCON_AUTO_HYBRID=0 or --backend to override"
+                    )
         except Exception:  # pragma: no cover - no jax / no devices
             pass
     if backend == "hybrid":

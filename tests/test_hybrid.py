@@ -126,6 +126,224 @@ def test_hybrid_journal(tmp_path, monkeypatch):
             assert line[1:].rsplit("/", 1)[0] in j
 
 
+def test_dev_should_pull_rule():
+    """The steal rule as a pure function (VERDICT r2 #5): share follows
+    the measured rate ratio, taper protects the tail."""
+    from pbdagcon_tpu.hybrid import dev_should_pull
+
+    # Chunker still reading: device helps iff >= 2 chunks queued.
+    assert not dev_should_pull([100], None, None, False)
+    assert dev_should_pull([100, 100], None, None, False)
+    # EOF, unmeasured host rate: host leads.
+    assert not dev_should_pull([100, 100], None, None, True)
+    # EOF, device 10x faster: pulls even with a short tail.
+    assert dev_should_pull([100, 100], 1e-5, 1e-6, True)
+    # EOF, device 10x slower: pulling the head (d*n = 1e-4*100 = 10ms)
+    # is longer than the host's drain of the rest (1e-5*100 = 1ms) —
+    # the device must NOT become the critical-path tail.
+    assert not dev_should_pull([100, 100], 1e-5, 1e-4, True)
+    # ...but with a deep backlog the slow device still helps.
+    assert dev_should_pull([100] + [100] * 50, 1e-5, 1e-4, True)
+    # Empty queue: nothing to pull.
+    assert not dev_should_pull([], 1e-5, 1e-6, True)
+
+
+class _FakeHostEngine:
+    """NativeEngine stand-in with a controlled seconds/byte rate and a
+    deterministic per-group FASTA output (parity between workers holds
+    by construction)."""
+
+    spb = 1e-6  # class attr: tests set before constructing
+
+    def __init__(self, **kw):
+        self.targets_done = 0
+
+    @staticmethod
+    def fasta_for(data: bytes) -> tuple[str, int]:
+        sids: list[str] = []
+        for line in data.decode().splitlines():
+            if line.strip():
+                sid = sid_of_line(line, "m5")
+                if not sids or sids[-1] != sid:
+                    sids.append(sid)
+        return "".join(f">{s}/0_4\nACGT\n" for s in sids), len(sids)
+
+    def consensus_text(self, data, fmt="m5", flush=True):
+        import time
+
+        time.sleep(type(self).spb * len(data))
+        text, n = self.fasta_for(data)
+        self.targets_done += n
+        return text
+
+    def status(self):
+        return (0, 0, 0)
+
+    def close(self):
+        pass
+
+
+def _run_stub_hybrid(monkeypatch, text: str, host_spb: float,
+                     dev_spb: float, chunk_kb: int = 1):
+    """run_stream_hybrid with BOTH workers stubbed to controlled
+    per-byte rates; returns (fasta, stats)."""
+    import time
+
+    from pbdagcon_tpu import devpipe, native
+    from pbdagcon_tpu.hybrid import run_stream_hybrid
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", str(chunk_kb))
+    monkeypatch.delenv("DAGCON_HYBRID_FORCE_DEV", raising=False)
+    _FakeHostEngine.spb = host_spb
+    monkeypatch.setattr(native, "NativeEngine", _FakeHostEngine)
+
+    def fake_devbuild(stream, writer, dcfg, st):
+        data = stream.read()
+        time.sleep(dev_spb * len(data))
+        fasta, n = _FakeHostEngine.fasta_for(data)
+        writer.stream.write(fasta)
+        st.targets = n
+        return st
+
+    monkeypatch.setattr(devpipe, "run_devbuild_native", fake_devbuild)
+    buf = _io.StringIO()
+    cfg = DagconConfig(backend="hybrid", min_weight=3, min_length=50)
+    stats = PipelineStats()
+    run_stream_hybrid(_io.StringIO(text), FastaWriter(buf), cfg, stats)
+    return buf.getvalue(), stats
+
+
+@pytest.mark.parametrize("ratio,lo,hi", [
+    (10.0, 0.45, 1.0),   # device 10x faster: takes the clear majority
+    (1.0, 0.15, 0.85),   # equal rates: both contribute materially
+    (0.1, 0.0, 0.40),    # device 10x slower: host dominates
+])
+def test_hybrid_share_converges_to_rate_ratio(monkeypatch, ratio, lo, hi):
+    """Chunk shares track the device:host rate ratio (VERDICT r2 #5).
+    Bounds are deliberately loose — EMAs need a few chunks to converge
+    and scheduling noise is real — but they separate the three regimes."""
+    text = _workload(n_targets=64, length=60, cov=3, seed=21)
+    host_spb = 6e-6  # ~6ms per 1KB chunk
+    fasta, stats = _run_stub_hybrid(
+        monkeypatch, text, host_spb, host_spb / ratio
+    )
+    total = stats.hybrid_dev_chunks + stats.hybrid_host_chunks
+    assert stats.targets == 64
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert fasta == expect
+    share = stats.hybrid_dev_chunks / total
+    assert lo <= share <= hi, (
+        f"dev share {share:.2f} outside [{lo}, {hi}] at ratio {ratio} "
+        f"(dev={stats.hybrid_dev_chunks}/{total})"
+    )
+
+
+def test_hybrid_taper_keeps_slow_device_off_tail(monkeypatch):
+    """A device 50x slower than the host must take (almost) nothing:
+    the end-of-stream taper refuses steals whose chunk would outlive
+    the host's drain of the remaining queue."""
+    text = _workload(n_targets=48, length=60, cov=3, seed=22)
+    host_spb = 4e-6
+    fasta, stats = _run_stub_hybrid(
+        monkeypatch, text, host_spb, host_spb * 50
+    )
+    total = stats.hybrid_dev_chunks + stats.hybrid_host_chunks
+    assert stats.targets == 48
+    assert stats.hybrid_dev_chunks <= max(2, total // 5), (
+        f"slow device took {stats.hybrid_dev_chunks}/{total} chunks"
+    )
+
+
+def test_hybrid_attribution_stats(monkeypatch):
+    """Per-worker bytes/bases/busy-seconds add up to the totals."""
+    text = _workload(n_targets=32, length=60, cov=3, seed=23)
+    fasta, stats = _run_stub_hybrid(monkeypatch, text, 5e-6, 5e-6)
+    assert stats.hybrid_dev_bytes + stats.hybrid_host_bytes == len(
+        text.encode()
+    )
+    assert (
+        stats.hybrid_dev_bases + stats.hybrid_host_bases
+        == stats.consensus_bases
+    )
+    if stats.hybrid_dev_chunks:
+        assert stats.hybrid_dev_busy_s > 0
+    assert stats.hybrid_host_busy_s > 0
+
+
+def test_hybrid_malformed_record_raises_valueerror():
+    """Chunker paths surface malformed records as the engines'
+    ValueError policy, not a bare IndexError (ADVICE r2)."""
+    from pbdagcon_tpu.hybrid import _last_group_cut, iter_group_chunks
+
+    with pytest.raises(ValueError, match="malformed alignment record"):
+        list(iter_group_chunks(iter(["bad record\n"]), "m5", 1))
+    good = _workload(n_targets=2, length=60, cov=3, seed=24)
+    with pytest.raises(ValueError, match="malformed alignment record"):
+        _last_group_cut(good.encode() + b"bad record\n", "m5")
+
+
+def test_hybrid_reorder_window_capped(monkeypatch):
+    """With the device stalled on chunk 0, the host must stop pulling
+    once the reorder window is full (bounded writer memory)."""
+    import time as _time
+
+    from pbdagcon_tpu import devpipe, native
+    from pbdagcon_tpu.hybrid import run_stream_hybrid
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "1")
+    monkeypatch.setenv("DAGCON_HYBRID_FORCE_DEV", "1")
+    monkeypatch.setenv("DAGCON_HYBRID_REORDER_CAP", "3")
+
+    class _CountingHost(_FakeHostEngine):
+        spb = 0.0
+        done = [0]
+
+        def consensus_text(self, data, fmt="m5", flush=True):
+            out = super().consensus_text(data, fmt=fmt, flush=flush)
+            type(self).done[0] += 1
+            return out
+
+    _CountingHost.done[0] = 0
+    monkeypatch.setattr(native, "NativeEngine", _CountingHost)
+    issued = [0]
+    host_done_at_release = [None]
+
+    def stalling_devbuild(stream, writer, dcfg, st):
+        data = stream.read()
+        if issued[0] == 0:  # stall only the first device chunk
+            issued[0] += 1
+            _time.sleep(0.5)
+            host_done_at_release[0] = _CountingHost.done[0]
+        fasta, n = _FakeHostEngine.fasta_for(data)
+        writer.stream.write(fasta)
+        st.targets = n
+        return st
+
+    monkeypatch.setattr(devpipe, "run_devbuild_native", stalling_devbuild)
+    text = _workload(n_targets=64, length=60, cov=3, seed=25)
+    buf = _io.StringIO()
+    cfg = DagconConfig(backend="hybrid", min_weight=3, min_length=50)
+    stats = PipelineStats()
+    run_stream_hybrid(_io.StringIO(text), FastaWriter(buf), cfg, stats)
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert buf.getvalue() == expect
+    assert stats.targets == 64
+    # While the device's first chunk k was stalled, the instant host
+    # engine was allowed at most the chunks below k plus the reorder
+    # window above it. k is small but racy (workers compete for the
+    # first pulls), so allow a few; an unbounded window would let the
+    # host run most of the ~25+ chunks in this stream.
+    total = stats.hybrid_dev_chunks + stats.hybrid_host_chunks
+    assert total >= 15, f"stream produced only {total} chunks"
+    assert host_done_at_release[0] is not None
+    assert host_done_at_release[0] <= 3 + 6, (
+        f"host ran {host_done_at_release[0]} chunks past a stalled "
+        "device chunk — reorder window not enforced"
+    )
+
+
 def test_hybrid_degrades_without_native():
     # use_native=False: backend=hybrid must degrade to a working
     # single-worker path, not crash.
