@@ -370,7 +370,7 @@ def main() -> int:
             # the real pipeline).
             import jax as _jax
 
-            from pbdagcon_tpu.ops.dp import _blocked_eligible
+            from pbdagcon_tpu.ops.dp import _blocked_L, _blocked_eligible
 
             V_ = batch["win_count"].shape[1]
             if _blocked_eligible(batch, V_):
@@ -378,7 +378,8 @@ def main() -> int:
                 # max-plus solve (exactness-guarded).
                 from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
 
-                _solve = lambda *a: dp_scores_blocked(*a)[0]
+                _L = _blocked_L(V_)
+                _solve = lambda *a: dp_scores_blocked(*a, L=_L)[0]
             else:
                 _solve = dp_scores
 

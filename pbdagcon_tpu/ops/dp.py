@@ -580,8 +580,9 @@ def _dp_scores_arena(arena: jax.Array, B: int, V: int, W: int, K: int):
     return _compress_scores(dp_scores(*args))
 
 
-@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K"))
-def _dp_scores_arena_blocked(arena, B: int, V: int, W: int, K: int):
+@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K", "L"))
+def _dp_scores_arena_blocked(arena, B: int, V: int, W: int, K: int,
+                             L: int = 64):
     """Blocked max-plus solve over the arena (2.4x the scan's execute
     rate on v5e: 6.1 vs 14.5 ms per [256, 4608, 16] batch). Per-row
     Kleene non-convergence folds into the wire's ok flag, so those rows
@@ -590,15 +591,16 @@ def _dp_scores_arena_blocked(arena, B: int, V: int, W: int, K: int):
     from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
 
     args = _unpack_arena(arena, B, V, W, K)
-    s, unconv = dp_scores_blocked(*args)
+    s, unconv = dp_scores_blocked(*args, L=L)
     packed = _compress_scores(s)
     return packed.at[:, 2].set(
         jnp.where(unconv, jnp.int16(0), packed[:, 2])
     )
 
 
-@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K"))
-def _dp_scores_arena8_blocked(arena, B: int, V: int, W: int, K: int):
+@functools.partial(jax.jit, static_argnames=("B", "V", "W", "K", "L"))
+def _dp_scores_arena8_blocked(arena, B: int, V: int, W: int, K: int,
+                              L: int = 64):
     from pbdagcon_tpu.ops.dp_blocked import dp_scores_blocked
 
     a = _unpack_arena8(arena, B, V, W, K)
@@ -606,22 +608,34 @@ def _dp_scores_arena8_blocked(arena, B: int, V: int, W: int, K: int):
         a[0].astype(jnp.int16), a[1].astype(jnp.int16),
         a[2].astype(jnp.int16),
     ) + a[3:]
-    s, unconv = dp_scores_blocked(*args)
+    s, unconv = dp_scores_blocked(*args, L=L)
     packed = _compress_scores(s)
     return packed.at[:, 2].set(
         jnp.where(unconv, jnp.int16(0), packed[:, 2])
     )
 
 
+def _blocked_L(V: int) -> int:
+    """Block length: larger blocks at large V halve the sequential
+    boundary chain AND the [B, G, Wp, Wp] transfer-matrix footprint."""
+    return 128 if (V >= 8192 and V % 128 == 0) else 64
+
+
 def _blocked_eligible(batch: dict, V: int) -> bool:
     """Host-side guard for routing an arena batch through the blocked
-    solve: block size divides V, the band is narrow (the block algebra
-    does ~W^2 work per node vs the scan's W — it wins 2.4x at W=16 and
-    loses at W>=96, measured), and the int32 half-unit bound holds for
-    this batch's count/coverage magnitudes (ops/dp_blocked.py) — ~32x
-    looser than the old f32 guard, admitting 100-500x-depth pileups."""
-    if V % 64 != 0 or batch["win_count"].shape[2] > 32:
+    solve: narrow bands only (the block algebra moves ~2*B*V*Wp^2*4
+    bytes of transfer-matrix traffic regardless of L — it wins 2.4x at
+    W=16, measured, and was MEASURED TO LOSE 20x to the scan at W=64,
+    V=14848 on this part, so wide bands always take the scan), a
+    transfer-matrix footprint cap, and the int32 half-unit range bound
+    (ops/dp_blocked.py) — ~32x looser than the old f32 guard, so
+    narrow-band rungs stay eligible at any realistic depth."""
+    B, _, W = batch["win_count"].shape
+    L = _blocked_L(V)
+    if V % L != 0 or W > 32:
         return False
+    if B * (V // L) * (W + 1) ** 2 * 4 > (1 << 31):
+        return False  # transfer-matrix footprint cap (~2 GB)
     from pbdagcon_tpu.ops.dp_blocked import blocked_safe
 
     max_esc = max(
@@ -645,7 +659,9 @@ def submit_arena_scores(
     unconverged rows are wire-flagged and refetch through the scan."""
     dev = jnp.asarray(arena)
     if use_blocked:
-        packed = _dp_scores_arena_blocked(dev, B=B, V=V, W=W, K=K)
+        packed = _dp_scores_arena_blocked(
+            dev, B=B, V=V, W=W, K=K, L=_blocked_L(V)
+        )
     else:
         packed = _dp_scores_arena(dev, B=B, V=V, W=W, K=K)
     return _ArenaScores(dev, packed, B, V, W, K)
@@ -758,7 +774,9 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
             Bp, V, W, K = batch["_dims"]
             dev = jnp.asarray(a8)
             if _blocked_eligible(batch, V):
-                packed = _dp_scores_arena8_blocked(dev, B=Bp, V=V, W=W, K=K)
+                packed = _dp_scores_arena8_blocked(
+                    dev, B=Bp, V=V, W=W, K=K, L=_blocked_L(V)
+                )
             else:
                 packed = _dp_scores_arena8(dev, B=Bp, V=V, W=W, K=K)
             return _PackedFuture(
@@ -784,7 +802,7 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
             + float(batch["win_count"].max(initial=0)),
             10.0,
         )
-        if V % 64 == 0 and blocked_safe(max_esc, V):
+        if V % _blocked_L(V) == 0 and blocked_safe(max_esc, V):
             args = tuple(
                 jnp.asarray(batch[k])
                 for k in (
@@ -792,7 +810,7 @@ def submit_packed_scores(batch: dict, backend: str = "xla") -> jax.Array:
                     "long_u", "long_w", "long_esc",
                 )
             )
-            s, unconv = dp_scores_blocked(*args)
+            s, unconv = dp_scores_blocked(*args, L=_blocked_L(V))
             return _BlockedFuture(s, unconv, args)  # type: ignore[return-value]
         backend = "xla"
     if backend == "pallas":

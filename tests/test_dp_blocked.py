@@ -96,6 +96,51 @@ def test_blocked_high_depth_bitwise():
         assert backtrack(lin, scores[i, : lin.n]) == backtrack(lin, hs)
 
 
+def test_blocked_wide_band_large_v_bitwise():
+    """Wide bands (W=64) + large V + L=128 blocks — the 100-500x-depth
+    routing newly admitted by `_blocked_eligible` — stay bitwise equal
+    to the host oracle."""
+    from pbdagcon_tpu.ops.dp import pad_batch
+
+    lins = _lins(
+        [90], length=200, cov=100,
+        noise=NoiseProfile(sub=0.04, ins=0.18, dele=0.09, max_ins_run=4),
+    )
+    V = 8192
+    b = pad_batch(lins, V, W=64, K=64)
+    s, unconv = dp_scores_blocked(
+        b["win_count"], b["exit_count"], b["cov"], b["unsup"],
+        b["long_u"], b["long_w"], b["long_esc"], L=128,
+    )
+    s, unconv = np.asarray(s), np.asarray(unconv)
+    for i, lin in enumerate(lins):
+        if not unconv[i]:
+            hs = host_scores(lin)
+            np.testing.assert_array_equal(s[i, : lin.n], hs)
+            assert backtrack(lin, s[i, : lin.n]) == backtrack(lin, hs)
+    assert not unconv.any(), "expected convergence"
+
+
+def test_blocked_eligibility_routing():
+    """_blocked_eligible: narrow bands only (wide bands measured 20x
+    slower than the scan on-chip), deep narrow-band pileups admitted
+    by the int32 bound."""
+    from pbdagcon_tpu.ops.dp import _blocked_L, _blocked_eligible
+
+    def fake_batch(B, V, W, count=10):
+        return {
+            "win_count": np.full((B, V, W), count, np.int16),
+            "cov": np.full((B, V), count, np.int16),
+        }
+
+    assert _blocked_L(4608) == 64 and _blocked_L(14848) == 128
+    assert _blocked_eligible(fake_batch(256, 4608, 16), 4608)
+    assert not _blocked_eligible(fake_batch(256, 4608, 64), 4608)
+    # Narrow band at large V / high counts: newly admitted by int32.
+    assert _blocked_eligible(fake_batch(64, 14848, 32, count=400), 14848)
+    assert not _blocked_eligible(fake_batch(64, 14848, 64), 14848)
+
+
 def test_blocked_f32_parity_line_flags():
     """Scores past 2^24 - 2^17 half-units must flag the row (the f32
     spec scan could round there); synthetic long chain of huge counts."""
