@@ -76,6 +76,10 @@ static bool read_file(const std::string& path, std::vector<uint8_t>& out) {
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (n < 0) {  // ftell failure (e.g. a directory): clean error
+    fclose(f);
+    return false;
+  }
   out.resize((size_t)n);
   size_t rd = n ? fread(out.data(), 1, (size_t)n, f) : 0;
   fclose(f);
@@ -181,6 +185,17 @@ void* dazz_open(const char* dbpath) {
     delete db;
     return nullptr;
   }
+  // Validate every record against the actual .bps size up front: a
+  // truncated or foreign-layout file fails the open cleanly instead of
+  // reading garbage later (ref DB.c::Open_DB error paths, SURVEY §2 C9).
+  for (int i = 0; i < ureads; ++i) {
+    const Read& rd = db->reads[i];
+    if (rd.rlen < 0 || rd.boff < 0 ||
+        (size_t)rd.boff + ((size_t)rd.rlen + 3) / 4 > db->bps.size()) {
+      delete db;
+      return nullptr;
+    }
+  }
   return db;
 }
 
@@ -220,7 +235,11 @@ void* las_open(const char* path) {
   int32_t tspace;
   memcpy(&novl, buf.data(), 8);
   memcpy(&tspace, buf.data() + 8, 4);
-  if (novl < 0) return nullptr;
+  if (novl < 0 || tspace < 0) return nullptr;
+  // Cheap plausibility bound: even empty-trace records are kOvlRec
+  // bytes, so novl beyond the file size means a foreign/corrupt header.
+  if ((uint64_t)novl > (buf.size() - kLasHeader) / kOvlRec)
+    return nullptr;
   size_t tbytes = tspace <= 125 ? 1 : 2;
   Las* las = new Las();
   las->tspace = tspace;
@@ -245,7 +264,8 @@ void* las_open(const char* path) {
     memcpy(&o.aread, r + 28, 4);
     memcpy(&o.bread, r + 32, 4);
     o.comp = (flags & kCompFlag) ? 1 : 0;
-    if (off + kOvlRec + (size_t)tlen * tbytes > buf.size() || tlen < 0) {
+    if (tlen < 0 ||
+        off + kOvlRec + (size_t)tlen * tbytes > buf.size()) {
       delete las;
       return nullptr;
     }
@@ -332,6 +352,10 @@ void* dazz_qv_open(const char* dbpath) {
     const uint8_t* r = idx.data() + kIdxHeader + (size_t)i * kReadRec;
     memcpy(&qv->rlens[i], r + 4, 4);
     memcpy(&qv->coffs[i], r + 24, 8);
+    if (qv->rlens[i] < 0 || qv->coffs[i] < 0) {
+      delete qv;
+      return nullptr;
+    }
   }
   if (!read_file(hidden(dbpath, "qvs"), qv->data) ||
       qv->data.size() < 4) {

@@ -222,3 +222,164 @@ class TestQvStreams:
         write_dazz_db(other, ["ACGT"])
         with pytest.raises(OSError):
             DazzQv(other)
+
+
+class TestHostileContainers:
+    """Corrupt/truncated/foreign container files must fail the open (or
+    the load) with a clean OSError — never crash or return garbage
+    (VERDICT r2 #8; ref DB.c::Open_DB error paths, SURVEY.md §2 C9)."""
+
+    def _paths(self, tmp_path, name="fix.db"):
+        import os
+
+        db = str(tmp_path / name)
+        d = os.path.dirname(db)
+        root = os.path.basename(db)[: -len(".db")]
+        return db, os.path.join(d, f".{root}.idx"), os.path.join(
+            d, f".{root}.bps"
+        )
+
+    def _fresh(self, tmp_path, name):
+        import random as _r
+
+        from pbdagcon_tpu.dazzio import write_dazz_db
+
+        rng = _r.Random(17)
+        db, idx, bps = self._paths(tmp_path, name)
+        write_dazz_db(db, [random_seq(rng, n) for n in (40, 80, 160)])
+        return db, idx, bps
+
+    def test_truncated_idx(self, tmp_path):
+        import pytest
+
+        from pbdagcon_tpu.dazzio import DazzDb
+
+        db, idx, _ = self._fresh(tmp_path, "t1.db")
+        data = open(idx, "rb").read()
+        for cut in (0, 60, len(data) - 7):
+            with open(idx, "wb") as f:
+                f.write(data[:cut])
+            with pytest.raises(OSError):
+                DazzDb(db)
+
+    def test_truncated_bps(self, tmp_path):
+        import pytest
+
+        from pbdagcon_tpu.dazzio import DazzDb
+
+        db, _, bps = self._fresh(tmp_path, "t2.db")
+        data = open(bps, "rb").read()
+        with open(bps, "wb") as f:
+            f.write(data[: len(data) // 2])
+        with pytest.raises(OSError):
+            DazzDb(db)
+
+    def test_bitflipped_boff_and_rlen(self, tmp_path):
+        import struct
+
+        import pytest
+
+        from pbdagcon_tpu.dazzio import DazzDb
+
+        # Huge boff on read 1 -> points past .bps -> clean open failure.
+        db, idx, _ = self._fresh(tmp_path, "t3.db")
+        data = bytearray(open(idx, "rb").read())
+        off = 120 + 1 * 40 + 16  # read 1's boff field
+        data[off : off + 8] = struct.pack("<q", 1 << 40)
+        open(idx, "wb").write(bytes(data))
+        with pytest.raises(OSError):
+            DazzDb(db)
+        # Negative rlen on read 0.
+        db, idx, _ = self._fresh(tmp_path, "t4.db")
+        data = bytearray(open(idx, "rb").read())
+        data[120 + 4 : 120 + 8] = struct.pack("<i", -5)
+        open(idx, "wb").write(bytes(data))
+        with pytest.raises(OSError):
+            DazzDb(db)
+
+    def test_foreign_idx_header(self, tmp_path):
+        import pytest
+
+        from pbdagcon_tpu.dazzio import DazzDb
+
+        db, idx, bps = self._paths(tmp_path, "t5.db")
+        open(idx, "wb").write(b"\xff" * 200)  # ureads = huge/negative
+        open(bps, "wb").write(b"\x00" * 10)
+        with pytest.raises(OSError):
+            DazzDb(db)
+
+    def test_truncated_and_foreign_las(self, tmp_path):
+        import struct
+
+        import pytest
+
+        from pbdagcon_tpu.dazzio import Overlap, read_las, write_las
+
+        path = str(tmp_path / "t.las")
+        ovls = [
+            Overlap(0, 1, False, 10, 90, 0, 82, 7,
+                    trace=((3, 50), (4, 40)))
+        ]
+        write_las(path, ovls, tspace=100)
+        data = open(path, "rb").read()
+        # Truncate mid-record and mid-trace.
+        for cut in (8, 20, len(data) - 1):
+            open(path, "wb").write(data[:cut])
+            with pytest.raises(OSError):
+                read_las(path)
+        # novl beyond what the file can hold.
+        bad = bytearray(data)
+        bad[0:8] = struct.pack("<q", 1 << 30)
+        open(path, "wb").write(bytes(bad))
+        with pytest.raises(OSError):
+            read_las(path)
+        # Negative tspace.
+        bad = bytearray(data)
+        bad[8:12] = struct.pack("<i", -1)
+        open(path, "wb").write(bytes(bad))
+        with pytest.raises(OSError):
+            read_las(path)
+
+    def test_corrupt_qvs(self, tmp_path):
+        import os
+        import random as _r
+
+        import numpy as np
+        import pytest
+
+        from pbdagcon_tpu.dazzio import (
+            QV_TRACKS, DazzQv, write_dazz_db, write_dazz_qvs,
+        )
+
+        rng = np.random.default_rng(4)
+        db = str(tmp_path / "q.db")
+        seqs = ["ACGTACGTAA", "GGTTAACC"]
+        write_dazz_db(db, seqs)
+        tracks = [
+            tuple(
+                bytes(rng.integers(0, 50, size=len(s)).astype(np.uint8))
+                for _ in range(len(QV_TRACKS))
+            )
+            for s in seqs
+        ]
+        write_dazz_qvs(db, tracks)
+        d = os.path.dirname(db)
+        qvs = os.path.join(d, ".q.qvs")
+        data = open(qvs, "rb").read()
+        # Truncated payload: open may succeed, load must raise.
+        open(qvs, "wb").write(data[: len(data) - 4])
+        with pytest.raises(OSError):
+            with DazzQv(db) as qv:
+                qv.load(1, len(seqs[1]))
+        # Truncated table region: open fails.
+        open(qvs, "wb").write(data[:6])
+        with pytest.raises(OSError):
+            DazzQv(db)
+        # Wrong track count.
+        import struct
+
+        bad = bytearray(data)
+        bad[0:4] = struct.pack("<i", 9)
+        open(qvs, "wb").write(bytes(bad))
+        with pytest.raises(OSError):
+            DazzQv(db)
