@@ -1185,36 +1185,41 @@ def assemble_band(
     v = jnp.arange(V, dtype=I32)
     vb = jnp.broadcast_to(v, (B, V))
 
-    # classify v: trie node (row in node table) or backbone p.
-    lt = node["lin"]  # [B, ND] ascending (postorder rank + t - 1)
-    ki = _row_searchsorted(lt, vb)
-    kic = jnp.clip(ki, 0, ND - 1)
-    is_trie = jnp.take_along_axis(lt, kic, axis=-1) == vb
-
-    # keep the row ascending for searchsorted: p = 0 -> -1 (never a
-    # linear index), p > Lr -> +BIG.
+    # ---- classify + field transport via ONE merged sort --------------
+    # Trie linear indices (node["lin"]) and backbone linear indices
+    # (lin_bb_full over valid p) are each ascending and together form a
+    # permutation of 0..n_total-1, so sorting the union by lin places
+    # every per-node field directly at its v slot — ONE multi-operand
+    # sort replaces the two classify searchsorteds plus ~13 per-v
+    # elementwise gathers (the dominant cost of this stage: elementwise
+    # gathers run at ~0.1 Gelem/s on this part).
+    assert 3 * caps.R < (1 << 14) and L + 1 < (1 << 15)
     parange = jnp.arange(L + 2, dtype=I32)[None, :]
-    lb_masked = jnp.where(
-        parange < 1, jnp.int32(-1),
-        jnp.where(parange <= Lr[:, None], lin_bb_full, jnp.int32(1 << 28)),
-    )
-    pi = _row_searchsorted(lb_masked, vb)
-    pic = jnp.clip(pi, 0, L + 1)
-    is_bb = jnp.take_along_axis(lb_masked, pic, axis=-1) == vb
-    in_range = vb < n_total[:, None]
-    if _upto == 1:
-        return {"is_trie": is_trie, "is_bb": is_bb, "in_range": in_range}
-
-    def nf(field):  # node field at v (trie rows)
-        return jnp.take_along_axis(field, kic, axis=-1)
-
-    def bf(field):  # [B, L+2] field at backbone p(v)
-        return jnp.take_along_axis(field, pic, axis=-1)
-
-    # ---- per-node arrays ---------------------------------------------
+    p_valid = (parange >= 1) & (parange <= Lr[:, None])
+    BIGK = jnp.int32(1 << 28)
     bonus = absb["bonus"]
     w_bb_full = 1 + matches + bonus  # [B, L+2] backbone weights
-    w_bb = bf(w_bb_full)
+    bbchar = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=bb.dtype), bb,
+         jnp.zeros((B, 1), dtype=bb.dtype)], axis=-1
+    )  # 1-based index
+    ctor_p = (
+        trans["count_pq"][..., 0] + absb["died_cnt_pq"][..., 0] + bonus
+    )
+    # exit count with the absorption bonus folded in at p == Lr (the
+    # L->exit ctor edge); elsewhere it is the raw threaded exit count.
+    xcnt_p = jnp.where(
+        parange == Lr[:, None], trans["exit_cnt"] + bonus,
+        trans["exit_cnt"],
+    )
+    xrd_p = jnp.clip(trans["exit_rkey"], 0, (1 << 14) - 1)
+    nxt_lin_p = jnp.clip(
+        jnp.concatenate(
+            [lin_bb_full[:, 1:], lin_bb_full[:, L + 1 :]], axis=-1
+        ),
+        0, (1 << 18) - 1,
+    )  # lin of p+1 (clip: values past Lr are only read masked)
+
     # trie-node base: the depth-(d-1) reversed base of the node's
     # run-start chain (equal across the run by construction).
     s_rb = linz["s"]["rb_nm"]  # [B, N*SM]
@@ -1225,19 +1230,61 @@ def assemble_band(
         ),
         axis=-1,
     )  # [B, ND]
-    bbchar = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=bb.dtype), bb,
-         jnp.zeros((B, 1), dtype=bb.dtype)], axis=-1
-    )  # 1-based index
-    base = jnp.where(
-        is_trie, nf(node_base_tbl).astype(jnp.uint8), bf(bbchar)
+    cov_anchor_nd = jnp.take_along_axis(
+        cov, jnp.clip(node["anchor"], 0, L + 1), axis=-1
+    )  # [B, ND]
+
+    def pk(x, hi):  # defensive clamp before packing (pad rows only)
+        return jnp.clip(x.astype(I32), 0, hi)
+
+    # Operand layouts (tag bit disambiguates row kind):
+    #   M1 = tag(1)<<24 | p(15)<<9 | isx(1)<<8 | base(8)
+    #   M2 = weight(<=2^11)<<15 | cov(<=2^10)
+    #   M3 = trie: par_lin ; bb: xcnt(14)<<14 | ctor(14)
+    #   M4 = bb: nxt_lin(18)<<14 | xrd(14) ; trie: 0
+    m1_t = (
+        jnp.int32(1 << 24)
+        | (node["is_exit_parent"].astype(I32) << 8)
+        | pk(node_base_tbl, 0xFF)
     )
-    weight = jnp.where(is_trie, nf(node["w"]), w_bb)
+    m1_b = (parange << 9) | bbchar.astype(I32)
+    m2_t = (pk(node["w"], 0x7FFF) << 15) | pk(cov_anchor_nd, 0x7FFF)
+    m2_b = (pk(w_bb_full, 0x7FFF) << 15) | pk(cov, 0x7FFF)
+    m3_t = pk(node["par_lin"], (1 << 28) - 1)
+    m3_b = (pk(xcnt_p, (1 << 14) - 1) << 14) | pk(ctor_p, (1 << 14) - 1)
+    m4_t = jnp.zeros((B, ND), I32)
+    m4_b = (nxt_lin_p << 14) | xrd_p
+
+    key_t = node["lin"]  # pad rows already 1 << 28
+    key_b = jnp.where(p_valid, lin_bb_full, BIGK)
+
+    def cat(a, b, padval=0):
+        x = jnp.concatenate([a, b], axis=-1)
+        if x.shape[1] < V:  # pad the union up to V columns
+            pad = jnp.full((B, V - x.shape[1]), jnp.int32(padval))
+            return jnp.concatenate([x, pad], axis=-1)
+        return x
+
+    _sk, s1, s2, s3, s4 = jax.lax.sort(
+        (cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
+         cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b)),
+        dimension=-1, num_keys=1,
+    )
+    s1, s2, s3, s4 = s1[:, :V], s2[:, :V], s3[:, :V], s4[:, :V]
+
+    in_range = vb < n_total[:, None]
+    tag = (s1 >> 24) & 1
+    is_trie = in_range & (tag == 1)
+    is_bb = in_range & (tag == 0)
+    pic = jnp.where(is_bb, (s1 >> 9) & 0x7FFF, 0)
+    if _upto == 1:
+        return {"is_trie": is_trie, "is_bb": is_bb, "in_range": in_range}
+
+    # ---- per-node arrays (unpacked from the sorted operands) ----------
+    base = (s1 & 0xFF).astype(jnp.uint8)
+    weight = s2 >> 15
+    cov_lin = s2 & 0x7FFF
     bbpos = jnp.where(is_bb, pic, 0)
-    cov_anchor = jnp.take_along_axis(
-        cov, jnp.clip(nf(node["anchor"]), 0, L + 1), axis=-1
-    )
-    cov_lin = jnp.where(is_trie, cov_anchor, bf(cov))
     unsup = is_bb & (weight == 1)
     if _upto == 2:
         return {"base": base, "weight": weight, "bbpos": bbpos,
@@ -1270,35 +1317,28 @@ def assemble_band(
         return win, wkey, flags
 
     # trie: single out-edge to parent (exit parents -> exit lane).
-    t_par = nf(node["par_lin"])
-    t_w = nf(node["w"])
-    t_isx = nf(node["is_exit_parent"].astype(I32)) == 1
+    t_par = s3  # par_lin rides M3 on trie rows
+    t_isx = is_trie & (((s1 >> 8) & 1) == 1)
     win, wkey, flags = add_class(
         win, wkey, flags,
-        is_trie & ~t_isx, t_par - vb, t_w, jnp.zeros_like(vb),
+        is_trie & ~t_isx, t_par - vb, weight, jnp.zeros_like(vb),
     )
-    exit_cnt = jnp.where(is_trie & t_isx, t_w, exit_cnt)
+    exit_cnt = jnp.where(t_isx, weight, exit_cnt)
 
     # backbone ctor edge p -> p+1 (or exit at p == Lr).
-    nxt_lin = jnp.take_along_axis(
-        lin_bb_full, jnp.clip(pic + 1, 0, L + 1), axis=-1
-    )
-    ctor_cnt = (
-        bf(trans["count_pq"][..., 0])
-        + bf(absb["died_cnt_pq"][..., 0])
-        + bf(bonus)
-    )
+    nxt_lin = s4 >> 14
+    ctor_cnt = s3 & ((1 << 14) - 1)
     at_L = pic == Lr[:, None]
     win, wkey, flags = add_class(
         win, wkey, flags,
         is_bb & ~at_L, nxt_lin - vb, ctor_cnt, jnp.zeros_like(vb),
     )
     # exit edges: ctor at p == Lr (count = exit transitions + absorption
-    # bonus folded into the L->exit ctor edge), else threaded exit
+    # bonus, folded in p-space before the sort), else threaded exit
     # transitions when present.
-    xcnt = bf(trans["exit_cnt"])
-    xkey = _key_int(1, rd=jnp.clip(bf(trans["exit_rkey"]), 0, (1 << 14) - 1))
-    exit_cnt = jnp.where(is_bb & at_L, xcnt + bf(bonus), exit_cnt)
+    xcnt = (s3 >> 14) & ((1 << 14) - 1)
+    xkey = _key_int(1, rd=s4 & ((1 << 14) - 1))
+    exit_cnt = jnp.where(is_bb & at_L, xcnt, exit_cnt)
     exit_cnt = jnp.where(is_bb & ~at_L & (xcnt > 0), xcnt, exit_cnt)
     exit_key = jnp.where(
         is_bb & ~at_L & (xcnt > 0), xkey, exit_key
@@ -1465,11 +1505,25 @@ def assemble_band(
     )
     flags = flags | jnp.any(p_real & (hi_p - lo_p > SE), axis=-1)
     si_ar = jnp.arange(SE, dtype=I32)[None, :, None]
-    j_p = jnp.clip(
-        lo_p[:, None, :] + si_ar, 0, N - 1
-    ).reshape(B, SE * HLp)
-    t_nc = jnp.take_along_axis(su_nc, j_p, axis=-1).reshape(B, SE, HLp)
-    t_k = jnp.take_along_axis(su_k, j_p, axis=-1).reshape(B, SE, HLp)
+
+    # Slot si of p's run sits at su row lo_p + si: SE shifted copies of
+    # the sorted row (pure slices) turn the per-(p, si) fetch into ONE
+    # broadcast gather at the shared index lo_p (the vectorized gather
+    # path, ~50x the elementwise rate) instead of two SE*HLp-element
+    # elementwise gathers.
+    def _shifts(a):  # [B, N] -> [B, SE, N] (row si = a shifted left si)
+        outs = [a]
+        for si in range(1, SE):
+            outs.append(
+                jnp.concatenate(
+                    [a[:, si:], jnp.zeros((B, si), a.dtype)], axis=-1
+                )
+            )
+        return jnp.stack(outs, axis=1)
+
+    lo_b = jnp.clip(lo_p, 0, N - 1)[:, None, :]  # size-1 dim: vectorized
+    t_nc = jnp.take_along_axis(_shifts(su_nc), lo_b, axis=2)
+    t_k = jnp.take_along_axis(_shifts(su_k), lo_b, axis=2)
     t_ok = (
         (lo_p[:, None, :] + si_ar < hi_p[:, None, :]).astype(jnp.int8)
     )
