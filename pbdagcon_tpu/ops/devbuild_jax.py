@@ -299,21 +299,31 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     # 6-16x physical blowup every consumer pays (measured: the strip
     # gathers alone cost ~0.5 s/batch in the old layout).
     d = jnp.arange(SM, dtype=I32)
-    src = (
-        chain_first[:, None, :, :]
-        + chain_len[:, None, :, :]
-        - 1
-        - d[None, :, None, None]
-    )  # [B, SM, R, CH]
     src_ok = (
         d[None, :, None, None] < chain_len[:, None, :, :]
     ) & chain_valid[:, None, :, :]
-    srcc = jnp.clip(src, 0, NI - 1).reshape(B, SM * R * CH)
-    # base (8b) and anchor (< 2^24) pack into one i32 -> ONE big gather
-    # instead of two, and the packed form stays canonical downstream
-    # (absorption strips it wholesale; consumers unpack with &/>>).
+    # base (8b) and anchor (< 2^24) pack into one i32, and the packed
+    # form stays canonical downstream (absorption strips it wholesale;
+    # consumers unpack with &/>>). Depth d reads ba_k[last - d] —
+    # consecutive descending addresses — so SM right-shifted copies of
+    # the stream (pure slices) + ONE broadcast gather at the shared
+    # per-chain index `last` replace the SM*R*CH-element elementwise
+    # gather (the old single biggest gather of the build).
     ba_k = (anchor_k << 8) | base_k.astype(I32)
-    ba = jnp.take_along_axis(ba_k, srcc, axis=-1).reshape(B, SM, R, CH)
+    sh = [ba_k]
+    for d2 in range(1, SM):
+        sh.append(
+            jnp.concatenate(
+                [jnp.zeros((B, d2), I32), ba_k[:, :-d2]], axis=-1
+            )
+        )
+    ba_sh = jnp.stack(sh, axis=1)  # [B, SM, NI]; row d = ba_k[j - d]
+    last = jnp.clip(
+        (chain_first + chain_len - 1).reshape(B, R * CH), 0, NI - 1
+    )
+    ba = jnp.take_along_axis(
+        ba_sh, last[:, None, :], axis=2
+    ).reshape(B, SM, R, CH)
     rev_ba = jnp.where(src_ok, ba, 0)
     overflow = chain_len > SM
 
@@ -663,34 +673,38 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
                 "died_t": died_t}
 
     # bonus (+1 per absorbed chain on backbone [t-kx, t-1]) and strip_t
-    # (trie landings on [t-kx (+1 if died), t-1]) as interval difference
-    # arrays: histogram the four endpoint streams in ONE sort via
-    # region-offset keys, then prefix-sum the diffs.
+    # (trie landings on [t-kx (+1 if died), t-1]): since kx <= ABR (3),
+    # the interval [t-kx, t-1] is the round set {t-j : j = 1..kx}, so
+    # both reduce to (t, kx, died)-class histograms — ONE co-sort of
+    # combined keys [B, N + 8*HL] replaces the old four-endpoint-stream
+    # sort ([B, 4N]) plus its wider searchsorted.
+    assert 2 * ABR + 1 <= 7
     abs_any = valid & (kx > 0)
-    INVAL = jnp.int32(4 * HL + 1)
-    b_start = jnp.where(abs_any, jnp.clip(t2, 0, HL - 1), INVAL)
-    b_end = jnp.where(abs_any, jnp.clip(tf, 0, HL - 1) + HL, INVAL)
-    # (an empty landing interval — died at round 1 — contributes +1 and
-    # -1 at the same index, which cancels in the cumsum; no special
-    # casing needed)
-    s_start = jnp.where(
+    ckey_h = jnp.where(
         abs_any,
-        jnp.clip(t2 + died.astype(I32), 0, HL - 1) + 2 * HL,
-        INVAL,
+        jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32),
+        jnp.int32(8 * HL + 8),
     )
-    s_end = jnp.where(abs_any, jnp.clip(tf, 0, HL - 1) + 3 * HL, INVAL)
-    hv = jnp.concatenate([b_start, b_end, s_start, s_end], axis=-1)
-    sv_h = jnp.sort(hv, axis=-1)
-    qb_h = jnp.broadcast_to(jnp.arange(4 * HL, dtype=I32), (B, 4 * HL))
-    lo_h, hi_h = _row_ss_lr(sv_h, qb_h)
-    cnts_h = hi_h - lo_h
-    bonus = jnp.cumsum(cnts_h[:, :HL] - cnts_h[:, HL : 2 * HL], axis=-1)
-    strip_t = (
-        jnp.cumsum(
-            cnts_h[:, 2 * HL : 3 * HL] - cnts_h[:, 3 * HL :], axis=-1
+    sv_h = jnp.sort(ckey_h, axis=-1)
+    grid_h = jnp.broadcast_to(
+        jnp.arange(8 * HL + 1, dtype=I32), (B, 8 * HL + 1)
+    )
+    bd_h = _row_searchsorted(sv_h, grid_h)
+    cnt_key = (bd_h[:, 1:] - bd_h[:, :-1]).reshape(B, HL, 8)
+    csuf = jnp.cumsum(cnt_key[:, :, ::-1], axis=-1)[:, :, ::-1]
+    bonus = jnp.zeros((B, HL), I32)
+    strip_cnt = jnp.zeros((B, HL), I32)
+    for j3 in range(1, ABR + 1):
+        # rows with kx >= j3 mark backbone p = t - j3; strips exclude
+        # the death landing (kx == j3, died).
+        n_ge = csuf[:, :, 2 * j3]
+        term_s = n_ge - cnt_key[:, :, 2 * j3 + 1]
+        shift = lambda a: jnp.concatenate(
+            [a[:, j3:], jnp.zeros((B, j3), I32)], axis=-1
         )
-        > 0
-    )
+        bonus = bonus + shift(n_ge)
+        strip_cnt = strip_cnt + shift(term_s)
+    strip_t = strip_cnt > 0
     if _upto == 6:
         return {"bonus": bonus, "strip_t": strip_t}
 
@@ -962,33 +976,76 @@ def linearize_and_band(
         BIGT,
     )
     cd = comp_idx % SM + 1
+
+    # Node-grid fields pack into two words per flat slot BEFORE the
+    # compact gather, and ride the postorder sort as payloads — two or
+    # three elementwise gathers + payload traffic instead of seven
+    # gathers (gathers run at ~0.1 Gelem/s on this part, the dominant
+    # cost). When the ids outgrow the packed widths (large NC*SM or R
+    # rungs) the fields ride as raw payload operands instead.
+    #   G1 (u32) = nid(16) << 16 | prev_nid(16)   [prev flat slot]
+    #   G2 (i32) = weight(10) << 21 | survivor_pos(14) << 7 | base(7)
+    nid_f = fl(node_nid)
+    prev_nid_f = jnp.concatenate(
+        [jnp.zeros((B, 1), I32), nid_f[:, :-1]], axis=-1
+    )
     cre = jnp.take_along_axis(fl(node_re), comp_idx, axis=-1)
 
-    # postorder sort of the COMPACT table: (t, run_end, depth desc);
-    # the sorted key operands double as the reordered fields.
-    rank0 = jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))
-    st_t, nre, smcd, po_src = jax.lax.sort(
-        (ct, cre, SM - cd, rank0), dimension=-1, num_keys=3
-    )
+    def comp(a):
+        return jnp.take_along_axis(a, comp_idx, axis=-1)
 
+    pack_nid = NF < (1 << 16)
+    if pack_nid:
+        nid_ops = (
+            comp(
+                (jnp.clip(nid_f, 0, 0xFFFF).astype(jnp.uint32) << 16)
+                | jnp.clip(prev_nid_f, 0, 0xFFFF).astype(jnp.uint32)
+            ),
+        )
+    else:
+        nid_ops = (comp(nid_f), comp(prev_nid_f))
+    pack_fld = N <= (1 << 14) and caps.R < (1 << 10)
+    if pack_fld:
+        fld_ops = (
+            comp(
+                (jnp.clip(fl(node_w), 0, 0x3FF) << 21)
+                | (jnp.clip(fl(surv_pos), 0, 0x3FFF) << 7)
+                | (node_base_nm.astype(I32) & 0x7F)
+            ),
+        )
+    else:
+        fld_ops = (
+            comp(fl(node_w)), comp(fl(surv_pos)), comp(node_base_nm)
+        )
+
+    # postorder sort of the COMPACT table: (t, run_end, depth desc);
+    # field words and comp_idx ride as payloads (no post-sort gathers).
+    sorted_ = jax.lax.sort(
+        (ct, cre, SM - cd, comp_idx) + nid_ops + fld_ops,
+        dimension=-1, num_keys=3,
+    )
+    st_t, nre, smcd, gidx = sorted_[:4]
     nvalid_t = st_t < BIGT
     nt = st_t
     nd_ = SM - smcd
-    gidx = jnp.take_along_axis(comp_idx, po_src, axis=-1)  # composed
     nrs = gidx // SM  # run start (sorted chain index)
-    nnid = jnp.take_along_axis(fl(node_nid), gidx, axis=-1)
+    if pack_nid:
+        g1_s = sorted_[4]
+        nnid = (g1_s >> 16).astype(I32)
+        prev_s = (g1_s & 0xFFFF).astype(I32)
+        rest = sorted_[5:]
+    else:
+        nnid, prev_s = sorted_[4], sorted_[5]
+        rest = sorted_[6:]
     # parent nid (d >= 2) sits one flat slot left of the node.
-    npar = jnp.where(
-        gidx % SM == 0,
-        jnp.int32(-1),
-        jnp.take_along_axis(
-            fl(node_nid), jnp.clip(gidx - 1, 0, NF - 1), axis=-1
-        ),
-    )
-    nw = jnp.take_along_axis(fl(node_w), gidx, axis=-1)
-    nbase = jnp.take_along_axis(node_base_nm, gidx, axis=-1)
-    # survivor chain fields: one packed word per chain -> one gather.
-    csurv = jnp.take_along_axis(fl(surv_pos), gidx, axis=-1)
+    npar = jnp.where(nd_ == 1, jnp.int32(-1), prev_s)
+    if pack_fld:
+        g2_s = rest[0]
+        nw = g2_s >> 21
+        nbase = g2_s & 0x7F
+        csurv = (g2_s >> 7) & 0x3FFF
+    else:
+        nw, csurv, nbase = rest[0], rest[1], rest[2]
     jc = jnp.clip(csurv, 0, N - 1)
     # len(5b @25) | p(15b @10) | read(10b): p <= L+1 <= 16385 needs 15
     # bits at the top L rung; read < R <= 512.

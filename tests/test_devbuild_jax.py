@@ -128,11 +128,19 @@ def _dev_edges(out, b, n, V, W):
     return edges
 
 
-def test_device_build_bitwise_vs_oracle():
-    caps = dbj.Caps(
+@pytest.mark.parametrize("caps", [
+    dbj.Caps(
         B=4, R=12, C=120, L=56, CH=32, SM=8, NC=384, ND=256, SE=8,
         DQ=8, V=320, W=64,
-    )
+    ),
+    # Wide rungs: NC*SM >= 2^16 and R >= 2^10 force linearize's
+    # unpacked payload branches (large-caps production shapes).
+    dbj.Caps(
+        B=4, R=1024, C=120, L=56, CH=32, SM=8, NC=8192, ND=256, SE=8,
+        DQ=8, V=320, W=64,
+    ),
+])
+def test_device_build_bitwise_vs_oracle(caps):
     encs = [
         _mk(101, L=50, depth=8),
         _mk(102, L=56, depth=10),
