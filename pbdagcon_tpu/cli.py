@@ -266,8 +266,16 @@ def main(argv: list[str] | None = None) -> int:
     _t0 = _time.time()
     try:
         run_stream(stream, writer, cfg, journal=journal)
+        import resource as _res
+
+        _ru = _res.getrusage(_res.RUSAGE_SELF)
+        # cpu_time next to wall time lets multi-process forensics tell
+        # core contention (cpu ~= wall * threads) from serialization
+        # (cpu << wall) per rank.
         print(
-            f"proc_time={_time.time() - _t0:.3f}s", file=sys.stderr
+            f"proc_time={_time.time() - _t0:.3f}s "
+            f"cpu_time={_ru.ru_utime + _ru.ru_stime:.3f}s",
+            file=sys.stderr,
         )
     finally:
         if profiler_cm is not None:

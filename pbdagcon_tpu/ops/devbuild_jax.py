@@ -131,9 +131,14 @@ def coverage_and_matches(ops, starts, dec, caps: Caps):
     # matches[b, p] = # match columns consuming p (padding rows have no
     # OP_MATCH, so no live mask is needed).
     is_m = ops == OP_MATCH
-    mk = jnp.where(is_m, dec["tpos"], jnp.int32(HL + 1)).reshape(B, R * C)
+    # int16 sort: tpos <= L+1 <= 16385 always fits, and halving the
+    # element width halves this R*C-wide sort's traffic.
+    assert HL + 1 < (1 << 15)
+    mk = jnp.where(
+        is_m, dec["tpos"].astype(jnp.int16), jnp.int16(HL + 1)
+    ).reshape(B, R * C)
     smk = jnp.sort(mk, axis=-1)
-    qp = jnp.broadcast_to(jnp.arange(HL, dtype=I32), (B, HL))
+    qp = jnp.broadcast_to(jnp.arange(HL, dtype=jnp.int16), (B, HL))
     lo_m, hi_m = _row_ss_lr(smk, qp)
     matches = hi_m - lo_m
     return cov, matches
@@ -177,8 +182,11 @@ def matched_positions(ops, dec, starts, Lr, caps: Caps):
     val = jnp.where(
         is_m, dec["tpos"] | (runor.astype(I32) << 15), 0
     ).reshape(B, R * C)
+    if R * C < (1 << 16):  # u16 sort: half the traffic (val < 2^16)
+        key = key.astype(jnp.uint16)
+        val = val.astype(jnp.uint16)
     _sk, sv = jax.lax.sort((key, val), dimension=-1, num_keys=1)
-    svg = sv.reshape(B, R, C)
+    svg = sv.astype(I32).reshape(B, R, C)
     j = jnp.arange(C, dtype=I32)
     in_m = j[None, None, :] < dec["n_matches"][..., None]
     mpos = jnp.where(in_m, svg & 0x7FFF, Lr[:, None, None] + 1)
@@ -213,18 +221,37 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     # (The old binary-search + two follow-up gathers paid the
     # elementwise-gather rate three times.)
     fidx = jnp.broadcast_to(jnp.arange(RC, dtype=I32), (B, RC))
-    skey = jnp.where(flat_ins, cum - 1, RC + fidx)
-    sa = (
-        (dec["seg"] << 15) | dec["tpos"]
-    ).reshape(B, RC)  # seg(<=C) @15 | tpos(15b)
-    _sk3, pos_s, sa_s = jax.lax.sort(
-        (skey, fidx, sa), dimension=-1, num_keys=1
-    )
-    valid_k = k[None, :] < total[:, None]
-    posc = jnp.clip(pos_s[:, :NI], 0, RC - 1)
-    r_of = posc // C
-    seg_k = sa_s[:, :NI] >> 15
-    anchor_k = sa_s[:, :NI] & 0x7FFF
+    if RC < (1 << 16):
+        # u16 sort (half the traffic): real keys are the distinct ranks
+        # 0..total-1; pads tie at 0xFFFF past slot `total` (masked by
+        # valid_k). seg/tpos ride as separate u16 payloads.
+        skey = jnp.where(
+            flat_ins, (cum - 1).astype(jnp.uint16), jnp.uint16(0xFFFF)
+        )
+        _sk3, pos_s, seg_s, tp_s = jax.lax.sort(
+            (skey, fidx.astype(jnp.uint16),
+             dec["seg"].reshape(B, RC).astype(jnp.uint16),
+             dec["tpos"].reshape(B, RC).astype(jnp.uint16)),
+            dimension=-1, num_keys=1,
+        )
+        valid_k = k[None, :] < total[:, None]
+        posc = jnp.clip(pos_s[:, :NI].astype(I32), 0, RC - 1)
+        r_of = posc // C
+        seg_k = seg_s[:, :NI].astype(I32)
+        anchor_k = tp_s[:, :NI].astype(I32)
+    else:
+        skey = jnp.where(flat_ins, cum - 1, RC + fidx)
+        sa = (
+            (dec["seg"] << 15) | dec["tpos"]
+        ).reshape(B, RC)  # seg(<=C) @15 | tpos(15b)
+        _sk3, pos_s, sa_s = jax.lax.sort(
+            (skey, fidx, sa), dimension=-1, num_keys=1
+        )
+        valid_k = k[None, :] < total[:, None]
+        posc = jnp.clip(pos_s[:, :NI], 0, RC - 1)
+        r_of = posc // C
+        seg_k = sa_s[:, :NI] >> 15
+        anchor_k = sa_s[:, :NI] & 0x7FFF
     base_k = ins_base  # by construction aligned with k
 
     # chain = run of equal (read, seg) in the compact stream.
@@ -259,9 +286,17 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     chain_valid = ch[None, None, :] < n_chains[..., None]
     g_grid = first_g[..., None] + ch[None, None, :]  # [B, R, CH]
     g_q = jnp.where(chain_valid, g_grid, BIGK).reshape(B, R * CH)
-    both = _row_searchsorted(
-        gch_s, jnp.concatenate([g_q, g_q + 1], axis=-1), side="left"
-    )
+    if NI < (1 << 15) - 2:  # chain ids < NI: i16 co-sort, half traffic
+        rows16 = jnp.minimum(gch_s, (1 << 15) - 1).astype(jnp.int16)
+        gq16 = jnp.minimum(g_q, (1 << 15) - 2).astype(jnp.int16)
+        both = _row_searchsorted(
+            rows16, jnp.concatenate([gq16, gq16 + 1], axis=-1),
+            side="left",
+        )
+    else:
+        both = _row_searchsorted(
+            gch_s, jnp.concatenate([g_q, g_q + 1], axis=-1), side="left"
+        )
     chain_first = both[:, : R * CH].reshape(B, R, CH)
     chain_len = jnp.where(
         chain_valid,
@@ -438,6 +473,12 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
         ],
         axis=-1,
     )
+    # 16-bit sort when the key space fits (R*C-wide sorts dominate this
+    # stage; halving the element width halves the sort traffic). BIG
+    # maps to 0xFFFF — still past every real key and every query.
+    if (L + 2) * STRIDE + (L + 2) < 0xFFFF and R < 0xFFFF:
+        keys = jnp.minimum(keys, 0xFFFF).astype(jnp.uint16)
+        reads = reads.astype(jnp.uint16)
     sk, sr = jax.lax.sort((keys, reads), dimension=-1, num_keys=2)
     NT = sk.shape[1]
     # histogram per target key: interior/exit/enter grids at once.
@@ -448,12 +489,13 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
             EOFF + jnp.arange(L + 2, dtype=I32),
         ]
     )  # [(L+2)*(DQ+1) + (L+2)]
-    qk = jnp.broadcast_to(qk, (B, qk.shape[0]))
+    qk = jnp.broadcast_to(qk, (B, qk.shape[0])).astype(sk.dtype)
     lo, hi = _row_ss_lr(sk, qk)
     cnt = hi - lo
     rkey = jnp.where(
         cnt > 0,
-        jnp.take_along_axis(sr, jnp.clip(lo, 0, NT - 1), axis=-1),
+        jnp.take_along_axis(sr, jnp.clip(lo, 0, NT - 1), axis=-1)
+        .astype(I32),
         BIG,
     )
     ni = (L + 2) * (DQ + 1)
@@ -472,10 +514,15 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
 
 def _presence_hist(values, valid, upper, caps_n):
     """values [B, N] (valid mask) -> count per value in [0, upper):
-    scatter-free histogram via sort + searchsorted."""
+    scatter-free histogram via sort + searchsorted (16-bit when the
+    value domain fits — halves the sort traffic)."""
     B, N = values.shape
-    sv = jnp.sort(jnp.where(valid, values, jnp.int32(upper + 1)), axis=-1)
-    q = jnp.arange(upper, dtype=I32)
+    dt = jnp.int16 if upper + 2 < (1 << 15) else I32
+    sv = jnp.sort(
+        jnp.where(valid, values.astype(dt), jnp.array(upper + 1, dt)),
+        axis=-1,
+    )
+    q = jnp.arange(upper, dtype=dt)
     qb = jnp.broadcast_to(q, (B, upper))
     lo, hi = _row_ss_lr(sv, qb)
     return hi - lo
@@ -646,13 +693,28 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # min (read, orig t) per (p, dq) for died chains via one sort:
     # key = p * (DQ+2) + dq, payload packed (read << 18 | orig t); the
     # first element of each sorted run is the minimum payload.
-    dkey = jnp.where(
-        died & (dd >= 1) & (dd <= DQ),
-        pf * (DQ + 2) + dd,
-        jnp.int32((caps.L + 2) * (DQ + 2) + 1),
-    )
-    payload = (read << 18) | tf
-    sk2, sp2 = jax.lax.sort((dkey, payload), dimension=-1, num_keys=2)
+    KPAD = (caps.L + 2) * (DQ + 2) + 1
+    if KPAD < 0xFFFF and caps.R < 0xFFFF and caps.L + 2 < 0xFFFF:
+        # u16 sort (half traffic): min-(read, t) ordering preserved by
+        # sorting the split payloads as secondary/tertiary keys.
+        dkey = jnp.where(
+            died & (dd >= 1) & (dd <= DQ),
+            (pf * (DQ + 2) + dd).astype(jnp.uint16),
+            jnp.uint16(KPAD),
+        )
+        sk2, s_rd, s_tf = jax.lax.sort(
+            (dkey, read.astype(jnp.uint16), tf.astype(jnp.uint16)),
+            dimension=-1, num_keys=3,
+        )
+    else:
+        dkey = jnp.where(
+            died & (dd >= 1) & (dd <= DQ),
+            pf * (DQ + 2) + dd,
+            jnp.int32(KPAD),
+        )
+        sk2, s_rd, s_tf = jax.lax.sort(
+            (dkey, read, tf), dimension=-1, num_keys=3
+        )
     # first occurrence index of each (p, dq) key:
     target_keys = jnp.broadcast_to(
         pidx[..., None] * (DQ + 2)
@@ -660,14 +722,22 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
         (B, caps.L + 2, DQ),
     )
     tk = target_keys.reshape(B, -1)
-    fi, hi_ = _row_ss_lr(sk2, tk)
+    fi, hi_ = _row_ss_lr(sk2, tk.astype(sk2.dtype))
     died_cnt_pq = (hi_ - fi).reshape(B, caps.L + 2, DQ)
-    fv = jnp.take_along_axis(sp2, jnp.clip(fi, 0, N - 1), axis=-1)
-    kmatch = jnp.take_along_axis(sk2, jnp.clip(fi, 0, N - 1), axis=-1) == tk
-    died_read = jnp.where(kmatch, fv >> 18, BIG).reshape(B, caps.L + 2, DQ)
-    died_t = jnp.where(kmatch, fv & ((1 << 18) - 1), 0).reshape(
-        B, caps.L + 2, DQ
+    fic = jnp.clip(fi, 0, N - 1)
+    kmatch = (
+        jnp.take_along_axis(sk2, fic, axis=-1).astype(I32) == tk
     )
+    died_read = jnp.where(
+        kmatch,
+        jnp.take_along_axis(s_rd, fic, axis=-1).astype(I32),
+        BIG,
+    ).reshape(B, caps.L + 2, DQ)
+    died_t = jnp.where(
+        kmatch,
+        jnp.take_along_axis(s_tf, fic, axis=-1).astype(I32),
+        0,
+    ).reshape(B, caps.L + 2, DQ)
     if _upto == 5:
         return {"died_cnt_pq": died_cnt_pq, "died_read": died_read,
                 "died_t": died_t}
@@ -680,14 +750,16 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # sort ([B, 4N]) plus its wider searchsorted.
     assert 2 * ABR + 1 <= 7
     abs_any = valid & (kx > 0)
+    hdt = jnp.uint16 if 8 * HL + 8 < 0xFFFF else I32
     ckey_h = jnp.where(
         abs_any,
-        jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32),
-        jnp.int32(8 * HL + 8),
+        (jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32))
+        .astype(hdt),
+        jnp.array(8 * HL + 8, dtype=hdt),
     )
     sv_h = jnp.sort(ckey_h, axis=-1)
     grid_h = jnp.broadcast_to(
-        jnp.arange(8 * HL + 1, dtype=I32), (B, 8 * HL + 1)
+        jnp.arange(8 * HL + 1, dtype=hdt), (B, 8 * HL + 1)
     )
     bd_h = _row_searchsorted(sv_h, grid_h)
     cnt_key = (bd_h[:, 1:] - bd_h[:, :-1]).reshape(B, HL, 8)
@@ -960,11 +1032,17 @@ def linearize_and_band(
     # single 2-operand sort; all per-node field gathers then run on the
     # small table (the full-width gathers dominated the build before).
     nn_flat = fl(nn)
-    ckey = jnp.where(nn_flat, jnp.int32(0), jnp.int32(1))
-    cpos = jnp.broadcast_to(jnp.arange(NF, dtype=I32), (B, NF))
+    if NF < (1 << 16):  # u16 co-sort: halves this NF-wide sort's traffic
+        ckey = jnp.where(nn_flat, jnp.uint16(0), jnp.uint16(1))
+        cpos = jnp.broadcast_to(
+            jnp.arange(NF, dtype=jnp.uint16), (B, NF)
+        )
+    else:
+        ckey = jnp.where(nn_flat, jnp.int32(0), jnp.int32(1))
+        cpos = jnp.broadcast_to(jnp.arange(NF, dtype=I32), (B, NF))
     ck_s, cp_s = jax.lax.sort((ckey, cpos), dimension=-1, num_keys=2)
     n_nodes = jnp.sum(nn_flat, axis=-1, dtype=I32)
-    comp_idx = cp_s[:, :ND]  # flat grid index of each compact node
+    comp_idx = cp_s[:, :ND].astype(I32)  # flat grid index, compact rows
     comp_valid = ck_s[:, :ND] == 0
     over_nd = n_nodes > ND
 
@@ -1128,8 +1206,18 @@ def linearize_and_band(
     deep_lin = lin_of_nid(jnp.clip(deep_nid, 0, ND - 1))
     if _upto == 4:
         return {"par_lin": par_lin, "deep_lin": deep_lin}
-    se_key_p = jnp.where(cvalid, s["p"], jnp.int32(1 << 20))
-    se_key_n = jnp.where(cvalid, deep_lin, jnp.int32(1 << 28))
+    # u16 keys when p/node-lin fit (they do at every current rung):
+    # halves the dominant operands' sort traffic; payload stays i32.
+    se16 = (L + 2) * 2 + 2 < 0xFFFF and V + ND < 0xFFFE
+    PBIG = 0xFFFF if se16 else (1 << 20)
+    NBIG = 0xFFFF if se16 else (1 << 28)
+    kdt = jnp.uint16 if se16 else I32
+    se_key_p = jnp.where(
+        cvalid, s["p"].astype(kdt), jnp.array(PBIG, kdt)
+    )
+    se_key_n = jnp.where(
+        cvalid, deep_lin.astype(kdt), jnp.array(NBIG, kdt)
+    )
     # payload: phase(1b) | read(13b) | sorted-chain index(14b), i32.
     se_pay = (
         (s["phase"] << 27)
@@ -1139,12 +1227,14 @@ def linearize_and_band(
     sp_, sn_, spay_ = jax.lax.sort(
         (se_key_p, se_key_n, se_pay), dimension=-1, num_keys=3
     )
+    se_invalid = sp_ >= PBIG
+    sp_ = sp_.astype(I32)
+    sn_ = sn_.astype(I32)
     # unique (p, node) runs: first row of each run.
     prev_same = (
         (sp_ == jnp.concatenate([sp_[:, :1] - 1, sp_[:, :-1]], axis=-1))
         & (sn_ == jnp.concatenate([sn_[:, :1] - 1, sn_[:, :-1]], axis=-1))
     )
-    se_invalid = sp_ >= (1 << 20)
     uniq = ~se_invalid & ~prev_same
     # run length (count) via next-boundary; the invalid tail is a
     # boundary too (runs must not extend into it).
@@ -1531,12 +1621,16 @@ def assemble_band(
     se_ulin = jnp.where(se["p"] == 0, -1, se_ulin)  # enter rows
     se_span = se["node_lin"] - se_ulin
     se_islong = se["uniq"] & (se["p"] >= 1) & (se_span > W)
+    su16 = 2 * (L + 2) + 2 < 0xFFFF and N < 0xFFFF
+    udt = jnp.uint16 if su16 else I32
     ukey = jnp.where(
-        se["uniq"], se["p"] * 2 + se_islong.astype(I32),
-        jnp.int32(1 << 21),
+        se["uniq"],
+        (se["p"] * 2 + se_islong.astype(I32)).astype(udt),
+        jnp.array(0xFFFF if su16 else (1 << 21), udt),
     )
-    upos = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    upos = jnp.broadcast_to(jnp.arange(N, dtype=udt), (B, N))
     su_key, su_pos = jax.lax.sort((ukey, upos), dimension=-1, num_keys=2)
+    su_pos = su_pos.astype(I32)
 
     def se_field(a):
         return jnp.take_along_axis(a, su_pos, axis=-1)
@@ -1554,7 +1648,7 @@ def assemble_band(
     HLp = L + 2
     qk_p = jnp.broadcast_to(
         jnp.arange(HLp, dtype=I32) * 2, (B, HLp)
-    )
+    ).astype(su_key.dtype)
     lo_p, hi_p = _row_ss_lr(su_key, qk_p)
     p_real = (
         (jnp.arange(HLp, dtype=I32)[None, :] >= 1)
@@ -1634,9 +1728,11 @@ def assemble_band(
     ce = jnp.concatenate(lk_esc, axis=-1)
     cl = jnp.concatenate(lk_long, axis=-1) & (cc > 0)
     NLC = cu.shape[1]
-    sel_key = jnp.where(cl, jnp.int32(0), jnp.int32(1))
-    payload = jnp.broadcast_to(jnp.arange(NLC, dtype=I32), (B, NLC))
+    ldt = jnp.uint16 if NLC < 0xFFFF else I32
+    sel_key = jnp.where(cl, jnp.array(0, ldt), jnp.array(1, ldt))
+    payload = jnp.broadcast_to(jnp.arange(NLC, dtype=ldt), (B, NLC))
     sk_, sp_ = jax.lax.sort((sel_key, payload), dimension=-1, num_keys=2)
+    sp_ = sp_.astype(I32)
     n_long = jnp.sum(cl, axis=-1)
     flags = flags | (n_long > K)
 
@@ -1677,7 +1773,7 @@ def assemble_band(
     e_present = e_present & (q >= 1) & (q <= Lr[:, None] + 1)
     e_key = jnp.where(q == 1, 0, e_key)
     # enter start edges: p == 0 rows (ukey == 0; never routed to K).
-    zero = jnp.zeros((B, 1), dtype=I32)
+    zero = jnp.zeros((B, 1), dtype=su_key.dtype)
     lo0_, hi0_ = _row_ss_lr(su_key, zero)
     lo0, hi0 = lo0_[:, 0], hi0_[:, 0]
     flags = flags | (hi0 - lo0 > SE)

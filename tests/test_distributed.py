@@ -30,6 +30,22 @@ def _mk_input(path: str, n_targets: int = 6) -> None:
     reason="multi-process test disabled",
 )
 def test_two_process_distributed_matches_single(tmp_path):
+    _run_two_process(tmp_path, backend="host")
+
+
+@pytest.mark.skipif(
+    os.environ.get("DAGCON_SKIP_MULTIPROC") == "1",
+    reason="multi-process test disabled",
+)
+def test_two_process_distributed_device_dp(tmp_path):
+    """VERDICT r2 #7: the multi-process path must also hold with a
+    device-DP backend — each rank batches its shard through the xla DP
+    (CPU devices here), exercising journal + sharding + device dispatch
+    together."""
+    _run_two_process(tmp_path, backend="xla")
+
+
+def _run_two_process(tmp_path, backend: str):
     inp = str(tmp_path / "pile.m5")
     _mk_input(inp)
 
@@ -38,7 +54,7 @@ def test_two_process_distributed_matches_single(tmp_path):
         buf = _io.StringIO()
         run_stream(
             f, FastaWriter(buf),
-            DagconConfig(min_weight=3, min_length=50, backend="host"),
+            DagconConfig(min_weight=3, min_length=50, backend=backend),
         )
     single = buf.getvalue()
 
@@ -59,7 +75,7 @@ def test_two_process_distributed_matches_single(tmp_path):
             subprocess.Popen(
                 [
                     sys.executable, "-m", "pbdagcon_tpu", inp,
-                    "-c", "3", "-m", "50", "--backend", "host",
+                    "-c", "3", "-m", "50", "--backend", backend,
                     "--distributed",
                     "--journal", str(tmp_path / f"journal{rank}.txt"),
                 ],
