@@ -24,11 +24,25 @@ def band_halfwidth(m: int, n: int) -> int:
     return max(64, abs(m - n) + 32)
 
 
-def align_pair(q: str, t: str) -> tuple[str, str]:
+def align_pair(
+    q: str,
+    t: str,
+    guide: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> tuple[str, str]:
     """Banded global alignment of query `q` vs target `t` (SPEC §1.5).
 
     Returns gapped (qstr, tstr). Deterministic tie-break:
     diagonal > up (gap in t) > left (gap in q), chosen at traceback.
+
+    `guide` — optional trace-guided banding (the reference seeds its
+    aligner with overlap trace points, `src/cpp/SimpleAligner.cpp` +
+    `align.c`, SURVEY.md §2 C8/C9): `(q_ck, t_ck, w_seg)` checkpoint
+    arrays with q_ck[0] == 0, q_ck[-1] == len(q), t_ck matching target
+    positions, and per-segment band halfwidths (sized from the
+    segment's trace diff count). The band then follows the piecewise-
+    linear checkpoint path instead of the straight diagonal — O(sum
+    w_k * seg_len) work instead of O(band * m) with the global
+    length-difference band, a large cut on long reads.
     """
     m, n = len(q), len(t)
     if m == 0:
@@ -37,14 +51,27 @@ def align_pair(q: str, t: str) -> tuple[str, str]:
         return q, "-" * m
     qb = np.frombuffer(q.encode(), dtype=np.uint8)
     tb = np.frombuffer(t.encode(), dtype=np.uint8)
-    bw = band_halfwidth(m, n)
+
+    rows = np.arange(1, m + 1)
+    if guide is None:
+        centers = (rows * n) // m
+        bws = np.full(m, band_halfwidth(m, n), dtype=np.int64)
+    else:
+        q_ck, t_ck, w_seg = guide
+        centers = np.interp(rows, q_ck, t_ck).astype(np.int64)
+        seg = np.clip(
+            np.searchsorted(q_ck, rows, side="right") - 1,
+            0, len(w_seg) - 1,
+        )
+        bws = w_seg[seg].astype(np.int64)
 
     H = np.full((m + 1, n + 1), NEG, dtype=np.int32)
     H[0, : n + 1] = np.arange(n + 1, dtype=np.int32) * GAP
     H[: m + 1, 0] = np.arange(m + 1, dtype=np.int32) * GAP
     # Row-vectorized banded fill.
     for i in range(1, m + 1):
-        center = i * n // m
+        center = int(centers[i - 1])
+        bw = int(bws[i - 1])
         lo = max(1, center - bw)
         hi = min(n, center + bw)
         if lo > hi:

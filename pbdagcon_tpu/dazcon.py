@@ -154,51 +154,111 @@ def run_dazcon(
 
 def _target_lin(tname, tseq, hits, reads):
     """Re-align hits and build the linearized merged graph for one
-    target (the dazcon consensus-worker preamble)."""
+    target (the dazcon consensus-worker preamble). Hits carrying trace
+    guides (container frontend with --trace-guided) take the guided
+    banded DP; everything else batches through the device aligner."""
     pre_lines = m4_to_pre(hits, reads)
     raw = [parse_pre(line) for line in pre_lines]
-    try:  # batched device aligner (exact; falls back to scalar DP)
-        from pbdagcon_tpu.ops.align_tpu import align_batch
+    guides = [h.guide for h in hits]
+    if len(raw) == len(hits) and any(g is not None for g in guides):
+        from pbdagcon_tpu.aligner import align_pair
 
-        gapped = align_batch([(a.qstr, a.tstr) for a in raw])
         alns = []
-        for a, (gq, gt) in zip(raw, gapped):
-            a.qstr, a.tstr = gq, gt
+        for a, g in zip(raw, guides):
+            a.qstr, a.tstr = align_pair(a.qstr, a.tstr, guide=g)
             alns.append(a.recompute_end())
-    except Exception:  # pragma: no cover - no jax backend
-        alns = [align_record(a) for a in raw]
+    else:
+        try:  # batched device aligner (exact; falls back to scalar DP)
+            from pbdagcon_tpu.ops.align_tpu import align_batch
+
+            gapped = align_batch([(a.qstr, a.tstr) for a in raw])
+            alns = []
+            for a, (gq, gt) in zip(raw, gapped):
+                a.qstr, a.tstr = gq, gt
+                alns.append(a.recompute_end())
+        except Exception:  # pragma: no cover - no jax backend
+            alns = [align_record(a) for a in raw]
     g = graph_from_group(tseq, alns)
     return linearize(g, sid=tname)
 
 
+def trace_guide(o, tspace: int, slack: int = 24):
+    """Banding checkpoints for `align_pair(q, t, guide=...)` from an
+    overlap's DALIGNER trace points (the reference seeds its aligner
+    with these, `src/cpp/align.c` + `SimpleAligner.cpp`, SURVEY.md §2
+    C8/C9 — reconstructed; semantics pinned by the in-repo fixtures).
+
+    Trace pairs (d_k, y_k) describe the alignment per tspace-aligned
+    A-segment: d_k diffs, y_k B bases consumed; per-segment halfwidth
+    = 2*d_k + slack. COMP overlaps return None (align unguided):
+    m4_to_pre re-aligns them in a window-flipped frame the trace
+    coordinates do not map into. Returns None likewise when traces are
+    absent or inconsistent."""
+    import numpy as np
+
+    tr = o.trace
+    if not tr or o.comp:
+        return None
+    n = o.aepos - o.abpos
+    m = o.bepos - o.bbpos
+    q_ck = [0]
+    t_ck = [0]
+    w = []
+    a = o.abpos
+    b = 0
+    for k, (d, y) in enumerate(tr):
+        nxt = min((a // tspace + 1) * tspace, o.aepos)
+        if k == len(tr) - 1:
+            nxt = o.aepos  # last segment runs to the overlap end
+        b += y
+        t_ck.append(nxt - o.abpos)
+        q_ck.append(b)
+        w.append(max(32, 2 * int(d) + slack))
+        a = nxt
+    if q_ck[-1] != m or t_ck[-1] != n:
+        return None  # inconsistent traces: fall back to unguided
+    return (
+        np.asarray(q_ck, dtype=np.int64),
+        np.asarray(t_ck, dtype=np.int64),
+        np.asarray(w, dtype=np.int64),
+    )
+
+
 def dazz_inputs_to_m4(
-    db_path: str, las_path: str
-) -> tuple[Iterable[str], dict[str, str]]:
-    """Native-container frontend: DAZZ_DB + .las -> (M4 lines, reads).
+    db_path: str, las_path: str, with_guides: bool = False
+) -> tuple[Iterable, dict[str, str]]:
+    """Native-container frontend: DAZZ_DB + .las -> (M4 records, reads).
 
     Replaces the reference's `Open_DB`/`Load_Read` + overlap iteration
     (`src/cpp/DB.c`, `align.c`, SURVEY.md §2 C9) with the in-repo
     readers (native/dazzdb.cpp). Read ids become their 0-based DB
-    indices; the COMP flag maps to the M4 query strand.
-    """
-    from pbdagcon_tpu.dazzio import DazzDb, read_las
+    indices; the COMP flag maps to the M4 query strand. With
+    `with_guides`, each overlap's decoded trace points become banding
+    checkpoints on the record (`M4Record.guide`) for the guided
+    re-aligner."""
+    from pbdagcon_tpu.dazzio import DazzDb, las_tspace, read_las
+    from pbdagcon_tpu.hgap import parse_m4
 
     with DazzDb(db_path) as db:
         reads = {str(i): db.read(i) for i in range(len(db))}
-    lines = []
-    for o in read_las(las_path):
+    recs = []
+    tspace = las_tspace(las_path) if with_guides else 0
+    for o in read_las(las_path, with_traces=with_guides):
         alen = len(reads[str(o.aread)])
         blen = len(reads[str(o.bread)])
         # M4: qname tname score pctsim qstrand qstart qend qlen
         #     tstrand tstart tend tlen  (B = query, A = target).
         span = max(1, o.aepos - o.abpos)
         pct = max(0.0, 100.0 * (1.0 - o.diffs / span))
-        lines.append(
+        rec = parse_m4(
             f"{o.bread} {o.aread} {o.diffs} {pct:.2f} "
             f"{1 if o.comp else 0} {o.bbpos} {o.bepos} {blen} "
             f"0 {o.abpos} {o.aepos} {alen}"
         )
-    return lines, reads
+        if with_guides:
+            rec.guide = trace_guide(o, tspace)
+        recs.append(rec)
+    return recs, reads
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -219,9 +279,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-c", "--min-coverage", type=int, default=8)
     p.add_argument("-m", "--min-length", type=int, default=500)
     p.add_argument("-x", "--max-hits", type=int, default=85)
+    p.add_argument(
+        "--trace-guided", action="store_true",
+        help="band the re-aligner around the .las trace points "
+        "(container inputs only; large speedup on long reads)",
+    )
     args = p.parse_args(argv)
     if args.reads.endswith(".db"):
-        stream, reads = dazz_inputs_to_m4(args.reads, args.overlaps)
+        stream, reads = dazz_inputs_to_m4(
+            args.reads, args.overlaps, with_guides=args.trace_guided
+        )
     else:
         with open(args.reads) as f:
             reads = read_fasta(f)

@@ -391,3 +391,32 @@ def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:
                 out += struct.pack("<H", y)
     with open(path, "wb") as f:
         f.write(out)
+
+
+def traces_from_alignment(
+    qstr: str, tstr: str, abpos: int, tspace: int
+) -> tuple[tuple[int, int], ...]:
+    """(d, y) trace pairs for a gapped alignment of the oriented query
+    against the target window starting at `abpos` — DALIGNER-style
+    per-tspace-segment diff counts and B advances (`align.c` trace
+    semantics, SURVEY.md §2 C9; reconstructed and self-consistent with
+    `dazcon.trace_guide` — re-verify against real files when a
+    reference mount exists). Used for fixture generation and tests."""
+    pairs: list[tuple[int, int]] = []
+    a = abpos
+    nxt = (abpos // tspace + 1) * tspace
+    d = y = 0
+    for qc, tc in zip(qstr, tstr):
+        if qc != tc:
+            d += 1
+        if qc != "-":
+            y += 1
+        if tc != "-":
+            a += 1
+            if a == nxt:
+                pairs.append((d, y))
+                d = y = 0
+                nxt += tspace
+    if d or y or not pairs or a % tspace != 0:
+        pairs.append((d, y))
+    return tuple(pairs)

@@ -45,6 +45,10 @@ class M4Record:
     tstart: int
     tend: int
     tlen: int
+    # Optional trace-guided banding checkpoints for the re-aligner
+    # (dazcon container frontend; see dazcon.trace_guide). Not part of
+    # the M4 text format — attached programmatically.
+    guide: object = None
 
 
 def parse_m4(line: str) -> M4Record:
@@ -61,9 +65,13 @@ def parse_m4(line: str) -> M4Record:
     )
 
 
-def parse_m4_stream(stream: TextIO | Iterable[str]) -> Iterator[M4Record]:
+def parse_m4_stream(
+    stream: TextIO | Iterable[str] | Iterable[M4Record],
+) -> Iterator[M4Record]:
     for line in stream:
-        if line.strip():
+        if isinstance(line, M4Record):  # pre-parsed (dazcon containers)
+            yield line
+        elif line.strip():
             yield parse_m4(line)
 
 
