@@ -52,7 +52,7 @@ def run_procs(inp, nproc, threads, outdir):
                 cmd, stdout=open(out, "w"), stderr=subprocess.PIPE, env=env
             )
         )
-    dt = 0.0
+    ranks = []  # per-rank (wall, cpu) — the 4-proc forensics
     for p in procs:
         _, err = p.communicate(timeout=600)
         assert p.returncode == 0, err.decode()[-2000:]
@@ -60,12 +60,21 @@ def run_procs(inp, nproc, threads, outdir):
         # bring-up, which a long-running service pays once)
         for ln in err.decode().splitlines():
             if ln.startswith("proc_time="):
-                dt = max(dt, float(ln.split("=")[1].rstrip("s")))
-    assert dt > 0, "no proc_time line on stderr"
+                fields = dict(
+                    kv.split("=") for kv in ln.split() if "=" in kv
+                )
+                ranks.append(
+                    (
+                        float(fields["proc_time"].rstrip("s")),
+                        float(fields.get("cpu_time", "0s").rstrip("s")),
+                    )
+                )
+    assert ranks, "no proc_time line on stderr"
+    dt = max(w for w, _c in ranks)
     recs = []
     for o in outs:
         recs.extend(">" + r for r in open(o).read().split(">") if r)
-    return dt, "".join(sorted(recs))
+    return dt, "".join(sorted(recs)), ranks
 
 
 def main() -> int:
@@ -86,13 +95,24 @@ def main() -> int:
         # warmup (imports, page cache)
         run_procs(inp, 1, threads, d)
         t1 = min(run_procs(inp, 1, threads, d)[0] for _ in range(2))
-        dtn, fasta_n = run_procs(inp, nproc, threads, d)
-        dtn = min(dtn, run_procs(inp, nproc, threads, d)[0])
-        _, fasta_1 = run_procs(inp, 1, threads, d)
+        dtn, fasta_n, ranks = run_procs(inp, nproc, threads, d)
+        dtn2, _f2, ranks2 = run_procs(inp, nproc, threads, d)
+        if dtn2 < dtn:
+            dtn, ranks = dtn2, ranks2
+        _, fasta_1, _r1 = run_procs(inp, 1, threads, d)
         # shard-merge must equal the single-process output (both sorted
         # per record since shard interleaving reorders targets)
         assert fasta_n == fasta_1, "distributed merge differs from single"
         eff = (t1 / dtn) / nproc
+        # Per-rank forensics (VERDICT r2 #7): cpu ~= wall * threads on
+        # every rank means the efficiency loss is core contention on
+        # this shared box, not a serialization in the code; a rank with
+        # cpu << wall would indicate waiting (skewed shard / barrier).
+        per_rank = [
+            {"wall_s": round(w, 2), "cpu_s": round(c, 2),
+             "cpu_over_wall": round(c / w, 2) if w else 0.0}
+            for w, c in ranks
+        ]
         print(
             json.dumps(
                 {
@@ -104,6 +124,7 @@ def main() -> int:
                     f"t_{nproc}proc_s": round(dtn, 2),
                     "speedup": round(t1 / dtn, 3),
                     "efficiency": round(eff, 3),
+                    "per_rank": per_rank,
                     "parity": "merged shards == single-process FASTA",
                 }
             )
