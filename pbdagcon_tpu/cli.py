@@ -204,7 +204,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.journal:
         from pbdagcon_tpu.parallel.journal import TargetJournal
 
-        journal = TargetJournal(args.journal)
+        journal = TargetJournal(
+            args.journal, before_flush=sys.stdout.flush
+        )
 
     if args.shard or journal is not None:
         from pbdagcon_tpu.io import filter_groups_text

@@ -17,11 +17,19 @@ T = TypeVar("T")
 
 
 class TargetJournal:
-    """Append-only journal of completed target ids."""
+    """Append-only journal of completed target ids.
 
-    def __init__(self, path: str, fsync_every: int = 64):
+    `before_flush` (e.g. the output stream's flush) runs before every
+    journal fsync: a target is durably marked done only AFTER its FASTA
+    left the process's own buffers, so a SIGKILL never produces a
+    journaled-but-unwritten target (crash-resume correctness; the
+    OS-cached output survives process death once flushed)."""
+
+    def __init__(self, path: str, fsync_every: int = 64,
+                 before_flush=None):
         self.path = path
         self.fsync_every = fsync_every
+        self.before_flush = before_flush
         self._done: set[str] = set()
         self._pending = 0
         if os.path.exists(path):
@@ -48,6 +56,11 @@ class TargetJournal:
             self.flush()
 
     def flush(self) -> None:
+        if self.before_flush is not None:
+            try:
+                self.before_flush()
+            except Exception:  # pragma: no cover - closed stream etc.
+                pass
         self._f.flush()
         os.fsync(self._f.fileno())
         self._pending = 0
