@@ -241,6 +241,104 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             log(f"bench: devbuild metric skipped ({e})")
 
+    # ---- devbuild execute-only (VERDICT r2 #1b-ii) ----
+    # The full build+DP+backtrack step chained K times inside ONE jit
+    # over resident inputs, one scalar fetch: isolates the chip from
+    # the tunnel's ~100 ms/dispatch and 45 MB/s transfer costs — the
+    # per-chip rate a non-tunneled host would see.
+    devbuild_exec_rate = 0.0
+    if os.environ.get("BENCH_DEVBUILD_EXEC", "1") == "1":
+        try:
+            import jax as _jx
+            import jax.numpy as jnp
+            import numpy as np
+
+            from pbdagcon_tpu.devpipe import (
+                DevCapsConfig, _B_LADDER, _C_LADDER, _L_LADDER,
+                _R_LADDER, _ladder, caps_for, ins_cap,
+            )
+            from pbdagcon_tpu.ops import devemit
+            from pbdagcon_tpu.ops.devbuild_jax import device_build
+            from pbdagcon_tpu.ops.dp import dp_scores
+
+            with native.NativeEngine(
+                min_weight=cfg.min_weight, min_length=cfg.min_length,
+                threads=cfg.threads, align=cfg.align,
+            ) as eng:
+                count = eng.encode_text(text, fmt=cfg.fmt, flush=True)
+                metas = eng.enc_metas(count)
+                tot_ins = int(metas[:, 3].sum())
+                tot_cols = int(metas[:, 4].sum())
+                dcap = (
+                    DevCapsConfig.compact()
+                    if tot_ins <= 0.11 * max(1, tot_cols)
+                    else DevCapsConfig.heavy()
+                )
+                caps = caps_for(
+                    128,
+                    _ladder(int(metas[:, 0].max()), _R_LADDER),
+                    _ladder(int(metas[:, 1].max()), _C_LADDER),
+                    _ladder(int(metas[:, 2].max()), _L_LADDER),
+                    dcap,
+                    ch_need=int(metas[:, 5].max()),
+                    sm_need=int(metas[:, 6].max()),
+                    nd_need=int(metas[:, 3].max()),
+                    dq_need=int(metas[:, 7].max()),
+                    se_need=int(metas[:, 8].max()),
+                )
+                NI = ins_cap(caps)
+                part = [
+                    i for i in range(count) if int(metas[i, 3]) <= NI
+                ][: caps.B]
+                arrs = eng.enc_fill(
+                    part, caps.R, caps.C, caps.L, NI, B=caps.B
+                )
+                dev_in = tuple(
+                    _jx.device_put(np.asarray(a)) for a in arrs
+                )
+                _jx.block_until_ready(dev_in[0])
+                Pw = min(caps.V, 2 * caps.L + 64)
+                KREP = 3
+
+                @_jx.jit
+                def _exec_chain(ops_, starts_, bbuf_, ins_, Lr_):
+                    tot = jnp.int32(0)
+                    o = ops_
+                    for _ in range(KREP):
+                        b = device_build(
+                            o, starts_, bbuf_, ins_, Lr_, caps
+                        )
+                        s = dp_scores(
+                            b["win"], b["exit_cnt"], b["cov"],
+                            b["unsup"], b["long_u"], b["long_w"],
+                            b["long_esc"],
+                        )
+                        e = devemit.backtrack_emit(
+                            b, s, jnp.int32(cfg.min_weight), Pw
+                        )
+                        pl = jnp.sum(e["path_len"]).astype(jnp.int32)
+                        tot = tot + pl
+                        # value-zero, not provably-zero dependency so
+                        # XLA cannot CSE the iterations into one step.
+                        o = o ^ jnp.equal(pl, -1234567).astype(o.dtype)
+                    return tot
+
+                int(_exec_chain(*dev_in))  # compile + warm
+                t = time.time()
+                int(_exec_chain(*dev_in))
+                dt_exec = time.time() - t
+                # consensus bases produced by this window per step
+                win_bases = len(part) * length
+                devbuild_exec_rate = win_bases * KREP / dt_exec
+                log(
+                    f"bench: devbuild execute-only "
+                    f"{devbuild_exec_rate:,.0f} b/s "
+                    f"({KREP} chained steps, {len(part)} targets, "
+                    f"{dt_exec:.2f}s)"
+                )
+        except Exception as e:  # pragma: no cover
+            log(f"bench: devbuild execute metric skipped ({e})")
+
     # ---- round-2: additive hybrid scheduler (backend=hybrid) ----
     # Host engine and devbuild pipeline run concurrently on group-
     # aligned chunks (rate-adaptive stealing): the chip ADDS throughput
@@ -449,6 +547,9 @@ def main() -> int:
                 "dp_device_targets_per_s_execute": round(dp_exec_rate, 1),
                 "dp_host_1core_targets_per_s": round(dp_host_rate, 1),
                 "devbuild_bases_per_s": devbuild_spread,
+                "devbuild_execute_bases_per_s": round(
+                    devbuild_exec_rate, 1
+                ),
                 "xla_path_bases_per_s": xla_spread,
                 "hybrid_device_share_bases_per_s": round(
                     hybrid_dev_attr_rate, 1
