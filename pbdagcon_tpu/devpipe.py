@@ -403,6 +403,7 @@ def run_devbuild_native(
     targets use the engine's exact consensus. FASTA in input order."""
     import os as _os
 
+    import jax
     import jax.numpy as jnp
 
     from pbdagcon_tpu import native
@@ -447,8 +448,12 @@ def run_devbuild_native(
             and blocked_safe(1.5 * caps.R + 10.0, caps.V)
         )
 
-        def step(ops, starts, bbuf, ins, Lr, mw):
-            build = device_build(ops, starts, bbuf, ins, Lr, caps)
+        # DP + backtrack fuse into ONE program (build stays separate —
+        # see the note above): the emit consumes the build outputs
+        # anyway, the scan carries are tiny, and one fewer dispatch
+        # saves the tunnel's ~100 ms fixed cost per batch.
+        @jax.jit
+        def _dp_emit(build, mw):
             flags = build["flags"]
             if use_blocked:
                 scores, unconv = dp_scores_blocked(
@@ -473,6 +478,10 @@ def run_devbuild_native(
                 "bbpos": emit["bbpos"],
                 "path_len": emit["path_len"],
             }
+
+        def step(ops, starts, bbuf, ins, Lr, mw):
+            build = device_build(ops, starts, bbuf, ins, Lr, caps)
+            return _dp_emit(build, mw)
 
         return step
 
