@@ -89,7 +89,9 @@ def ins_cap(caps) -> int:
 # (which scale with SM * ND and R * CH) stay ~2x tighter than the old
 # worst-case formulas. Undersized picks only flag targets to the exact
 # host path — output is bit-identical either way.
-_SM_LADDER = (8, 14, 20)
+_SM_LADDER = (8, 10, 12, 14, 20)  # fine rungs: a few sm_need=9..10
+# outlier targets otherwise drag a whole window to 14, fattening every
+# SM-scaled array ~40% and pushing NC*SM past the 16-bit packing gates.
 _CH_LADDER = (32, 64, 128, 192, 256, 512)
 _ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
 _DQ_LADDER = (4, 6, 8, 12)
