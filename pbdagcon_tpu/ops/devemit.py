@@ -205,21 +205,36 @@ def backtrack_emit(build, scores, min_weight, P: int):
             axis=-1,
         )
 
+    # Two-level walk: doubling tables only up to 2^(LVL-1) steps (each
+    # level is a V-wide elementwise gather, ~the most expensive op class
+    # on this part), then a sequential chain of [B]-sized jumps for the
+    # P/2^LVL block starts (tiny-op latency only), then an in-block
+    # fill with the LVL tables. Halves the V-wide gather count vs full
+    # pointer doubling (measured win; exact same path semantics).
     nbits = max(1, (P - 1).bit_length())
+    LVL = min(nbits, 6)
     jumps = [nxt_ext]
-    for _ in range(nbits - 1):
+    for _ in range(LVL - 1):
         j = jumps[-1]
-        jumps.append(ext_gather(j, j[:, :V]))
-        # extend with exit column again
-        jumps[-1] = jnp.concatenate(
-            [jumps[-1], n[:, None]], axis=-1
-        )[:, : V + 1]
-    # path[b, i] = start jumped i times.
-    pidx = jnp.arange(P, dtype=I32)[None, :]
-    cur = jnp.broadcast_to(u0[:, None], (B, P))
-    for k in range(nbits):
+        jumps.append(
+            jnp.concatenate(
+                [ext_gather(j, j[:, :V]), n[:, None]], axis=-1
+            )[:, : V + 1]
+        )
+    BLK = 1 << LVL
+    NB = -(-P // BLK)
+    half = jumps[-1]  # 2^(LVL-1)-step table
+    starts = [u0]
+    curs = u0
+    for _ in range(NB - 1):
+        curs = ext_gather(half, ext_gather(half, curs[:, None]))[:, 0]
+        starts.append(curs)
+    sgrid = jnp.stack(starts, axis=1)  # [B, NB] block starts
+    cur = jnp.repeat(sgrid, BLK, axis=1)[:, :P]
+    ridx = (jnp.arange(P, dtype=I32) % BLK)[None, :]
+    for k in range(LVL):
         stepped = ext_gather(jumps[k], cur)
-        cur = jnp.where((pidx >> k) & 1 == 1, stepped, cur)
+        cur = jnp.where((ridx >> k) & 1 == 1, stepped, cur)
     path = cur  # [B, P] node at step i (exit-absorbed)
     valid = path < n[:, None]
     path_len = jnp.sum(valid, axis=-1, dtype=I32)
