@@ -92,6 +92,10 @@ def ins_cap(caps) -> int:
 _SM_LADDER = (8, 10, 12, 14, 20)  # fine rungs: a few sm_need=9..10
 # outlier targets otherwise drag a whole window to 14, fattening every
 # SM-scaled array ~40% and pushing NC*SM past the 16-bit packing gates.
+_W_LADDER = (32, 48, 64, 96, 128)  # band width: adapted per bucket from
+# the build's measured `wneed` (the band is the largest array family;
+# the heavy profile's fixed 96 measured 6% slower than the 48 the bench
+# workload actually needs). Undersized W only flags to the host path.
 _CH_LADDER = (32, 64, 128, 192, 256, 512)
 _ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
 _DQ_LADDER = (4, 6, 8, 12)
@@ -106,6 +110,7 @@ def caps_for(
     nd_need: int | None = None,
     dq_need: int | None = None,
     se_need: int | None = None,
+    w_need: int | None = None,
 ):
     """Build-shape caps from the primary bucket dims.
 
@@ -141,6 +146,9 @@ def caps_for(
     SE = cfg.SE
     if se_need is not None:
         SE = _ladder(max(1, se_need), _SE_LADDER) or _SE_LADDER[-1]
+    W = cfg.W
+    if w_need is not None:
+        W = _ladder(max(1, w_need), _W_LADDER) or _W_LADDER[-1]
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,
@@ -150,7 +158,7 @@ def caps_for(
         SE=SE,
         DQ=DQ,
         V=L + ND,
-        W=cfg.W,
+        W=W,
         K=cfg.K,
     )
 
@@ -392,6 +400,20 @@ def run_devbuild_pipeline(
     yield from flush()
 
 
+# jitted full-step programs keyed by (caps, P): shared across windows,
+# streams, and run_devbuild_native calls in one process (the persistent
+# compile cache only saves the XLA backend compile — the jaxpr trace +
+# lowering is per jit-wrapper and costs ~0.5s at these shapes).
+_STEP_CACHE: dict = {}
+
+# Adaptive band-width state, also process-wide: the hybrid scheduler
+# calls run_devbuild_native once per ~3 MB chunk, and per-call state
+# would forget the learned rung between chunks. Keyed by bucket
+# (Rb, Cb, Lb, profile W), which characterizes the workload class.
+_W_STATE: dict = {}
+_W_RECENT: dict = {}
+
+
 def run_devbuild_native(
     stream,
     out,
@@ -424,12 +446,47 @@ def run_devbuild_native(
     )
     dcfg = DevCapsConfig()
 
+    # Adaptive band width per bucket (see _W_STATE): batches start at a
+    # tight W rung (48 for shallow pileups, the profile W for deep
+    # ones) and FUTURE batches resize from the measured hard span
+    # (`wneed`) and K-file pressure (`nlong`) of recent ones. Undersized
+    # W only flags targets to the exact host path, so any adaptation
+    # mistake costs speed, never parity. Emit thread writes, submit
+    # thread reads; plain dict assignment is atomic under the GIL.
+    import collections as _collections
+
+    w_state = _W_STATE
+    w_recent = _W_RECENT
+
+    def w_adapt(bkey: tuple, caps, wneed_max: int, nlong_max: int) -> None:
+        rec = w_recent.setdefault(bkey, _collections.deque(maxlen=8))
+        rec.append((wneed_max, nlong_max))
+        need = max(w for w, _ in rec)
+        rung = _ladder(max(need, 32), _W_LADDER) or _W_LADDER[-1]
+        if max(nl for _, nl in rec) > caps.K * 3 // 4:
+            nxt = [w for w in _W_LADDER if w > rung]
+            rung = nxt[0] if nxt else rung
+        w_state[bkey] = rung
+
     # Three dispatches per batch (build / DP / backtrack), NOT one fused
     # program: fusing them holds every build intermediate plus the
     # [B, V, W] bands live in one program and spills HBM — catastrophic
     # through a 45 MB/s tunnel (measured 38k -> 11k b/s). Separate
     # programs free each stage's intermediates at its boundary.
     def full_step_fn(caps, P):
+        # Memoized per (caps, P): a fresh jit closure per submit window
+        # would re-trace + re-lower the whole program each window
+        # (~0.5s of main-thread stall per window, measured — it erased
+        # the pipelining benefit of small windows).
+        key = (caps, P)
+        cached = _STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+        step = _make_full_step(caps, P)
+        _STEP_CACHE[key] = step
+        return step
+
+    def _make_full_step(caps, P):
         from pbdagcon_tpu.ops.dp_blocked import (
             blocked_safe,
             dp_scores_blocked,
@@ -479,6 +536,10 @@ def run_devbuild_native(
                 "kept": emit["kept"],
                 "bbpos": emit["bbpos"],
                 "path_len": emit["path_len"],
+                # band-adaptation feedback (tiny [B] vectors): the hard
+                # span requirement and the K-file pressure this batch.
+                "wneed": build["wneed"],
+                "nlong": build["nlong"],
             }
 
         def step(ops, starts, bbuf, ins, Lr, mw):
@@ -517,6 +578,17 @@ def run_devbuild_native(
     # targets are retained, keeping offsets aligned.
     import queue as _queue
     import threading
+    import time as _time
+
+    # Env-gated phase profile (DAGCON_DEVPIPE_PROF=1): wall-busy seconds
+    # per pipeline phase, printed to stderr at stream end. Threads run
+    # concurrently, so phases can sum past the wall time; the signal is
+    # which phase tracks the end-to-end wall.
+    prof_on = _os.environ.get("DAGCON_DEVPIPE_PROF", "0") == "1"
+    phases = {
+        "encode": 0.0, "fill": 0.0, "upload": 0.0, "dispatch": 0.0,
+        "fetch": 0.0, "assemble": 0.0, "write": 0.0, "emit_wait": 0.0,
+    }
 
     slice_bytes = min(chunk_bytes, 4 << 20)
     WIN = max(32, cfg.batch_targets)
@@ -545,9 +617,11 @@ def run_devbuild_native(
                     if stop.is_set():
                         return
                     fl = flush_f and vi == len(views) - 1
+                    _t0 = _time.time()
                     appended = eng.encode_text(
                         piece, fmt=cfg.fmt, flush=fl
                     )
+                    phases["encode"] += _time.time() - _t0
                     if appended:
                         with cond:
                             retained[0] += appended
@@ -566,8 +640,14 @@ def run_devbuild_native(
         # Materialize device results (slow fetch — outside idx_lock).
         texts: dict[int, str] = {}
         host_idx: list[int] = list(win["fallback"])
-        for part, dev in win["batches"]:
+        for part, dev, bkey, caps in win["batches"]:
+            _t0 = _time.time()
             o = {k: np.asarray(v) for k, v in dev.items()}
+            _t1 = _time.time()
+            phases["fetch"] += _t1 - _t0
+            w_adapt(
+                bkey, caps, int(o["wneed"].max()), int(o["nlong"].max())
+            )
             for j, i in enumerate(part):
                 if o["flags"][j] or o["ambiguous"][j] or o["overflow"][j]:
                     host_idx.append(i)
@@ -577,6 +657,8 @@ def run_devbuild_native(
                         int(o["path_len"][j]), cfg.min_length,
                     )
                     texts[i] = format_fasta(win["sids"][i], res)
+            phases["assemble"] += _time.time() - _t1
+        _t1 = _time.time()
         with idx_lock:
             # This window's targets sit at retained indices
             # 0..count-1 now (windows emit in submit order and each
@@ -597,6 +679,7 @@ def run_devbuild_native(
                     journal.mark(win["sids"][i])
             eng.enc_clear(win["count"])
             win["_cleared"][0] += win["count"]
+        phases["write"] += _time.time() - _t1
 
     def emitter() -> None:
         try:
@@ -642,6 +725,7 @@ def run_devbuild_native(
         batches: list[tuple[list[int], dict]] = []
         for (Rb, Cb, Lb), idxs in buckets.items():
             sub = metas[idxs]
+            bkey = (Rb, Cb, Lb, prof.W)
             caps = caps_for(
                 _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
                 Rb, Cb, Lb, prof,
@@ -650,6 +734,7 @@ def run_devbuild_native(
                 nd_need=int(sub[:, 3].max()),
                 dq_need=int(sub[:, 7].max()),
                 se_need=int(sub[:, 8].max()),
+                w_need=w_state.get(bkey, 48 if Rb <= 48 else prof.W),
             )
             NI = ins_cap(caps)
             fallback.extend(
@@ -660,17 +745,24 @@ def run_devbuild_native(
             step = full_step_fn(caps, P)
             for lo in range(0, len(idxs), caps.B):
                 part = idxs[lo : lo + caps.B]
+                _t0 = _time.time()
                 ops, starts, bbuf, ins, Lrr = eng.enc_fill(
                     [offset + i for i in part],
                     caps.R, caps.C, caps.L, NI, B=caps.B,
                 )
-                dev = step(
+                _t1 = _time.time()
+                phases["fill"] += _t1 - _t0
+                d_in = (
                     jnp.asarray(ops), jnp.asarray(starts),
                     jnp.asarray(bbuf), jnp.asarray(ins),
-                    jnp.asarray(Lrr), jnp.int32(cfg.min_weight),
+                    jnp.asarray(Lrr),
                 )
+                _t2 = _time.time()
+                phases["upload"] += _t2 - _t1
+                dev = step(*d_in, jnp.int32(cfg.min_weight))
+                phases["dispatch"] += _time.time() - _t2
                 stats.batches += 1
-                batches.append((part, dev))
+                batches.append((part, dev, bkey, caps))
         return {
             "count": count,
             "sids": sids,
@@ -719,6 +811,14 @@ def run_devbuild_native(
             raise emit_err[0]
         if producer_err:
             raise producer_err[0]
+        if prof_on:
+            import sys as _sys
+
+            print(
+                "devpipe prof: "
+                + " ".join(f"{k}={v:.2f}s" for k, v in phases.items()),
+                file=_sys.stderr, flush=True,
+            )
         return stats
     finally:
         # On a main-thread error the producer may still be inside the

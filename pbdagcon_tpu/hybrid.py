@@ -66,20 +66,38 @@ def dev_should_pull(
     d_spb: float | None,
     chunker_done: bool,
     margin: float = 1.2,
+    beta: float = 4.0,
 ) -> bool:
     """The steal rule, as a pure function of queue state and measured
     per-byte rates (unit-testable without threads or timing).
 
+    Profitability gate first: the device pipeline's host-side stages
+    (parse/normalize/encode, assembly) consume roughly 1/beta of the
+    host cores, so a device slower than beta * host is NET-NEGATIVE —
+    the chunks it takes cost more host throughput than the chip adds
+    (measured on the 4-core dev box: unconditional steals put the
+    hybrid aggregate ~10% BELOW host-only). Once both rates are
+    measured, a device with d > beta * h stops pulling for the rest of
+    the run (rates are stable in-run; the one probe chunk that measured
+    d is the entire cost of learning this).
+
     While the chunker is still reading, the backlog is effectively
-    unbounded — the device helps whenever >= 2 chunks are queued (one is
-    left to the host in case EOF is imminent). After EOF the queue is
-    the whole remaining tail: the device pulls the head chunk (n bytes)
-    only if its processing (d * n seconds) finishes inside the host's
-    drain of the REST of the queue (rest * h seconds), so a slow device
-    never becomes the critical-path tail. An unmeasured device rate is
-    assumed 8x the host's (pessimistic cold start)."""
+    unbounded — a profitable device helps whenever >= 2 chunks are
+    queued (one is left to the host in case EOF is imminent); an
+    unmeasured device rate is allowed one probe pull. After EOF the
+    queue is the whole remaining tail: the device pulls the head chunk
+    (n bytes) only if its processing (d * n seconds) finishes inside
+    the host's drain of the REST of the queue (rest * h seconds), so a
+    slow device never becomes the critical-path tail. An unmeasured
+    device rate is assumed 8x the host's (pessimistic cold start)."""
     if not pending_sizes:
         return False
+    if (
+        h_spb is not None
+        and d_spb is not None
+        and d_spb > beta * h_spb
+    ):
+        return False  # measured net-negative: retire from this run
     if not chunker_done:
         return len(pending_sizes) >= 2
     if h_spb is None:
@@ -138,15 +156,26 @@ def _last_group_cut(complete: bytes, fmt: str) -> int:
 
 
 def iter_group_chunks_blocks(
-    stream, fmt: str, chunk_bytes: int
+    stream, fmt: str, chunk_bytes: int, ramp: bool = True
 ) -> Iterator[bytes]:
     """Group-aligned byte chunks from a file-like stream: read big
     blocks, cut each at the start of its last (possibly incomplete)
     group. Only the trailing group's lines are ever scanned in Python,
-    so the chunker costs ~nothing per byte."""
+    so the chunker costs ~nothing per byte.
+
+    With `ramp`, the first few blocks are read small (cb/8, cb/8, cb/4,
+    cb/2, then cb): the early chunks double as cheap rate probes for
+    both workers, so a slow device's one mandatory probe pull (see
+    `dev_should_pull`) wastes ~cb/8 of work instead of a full chunk."""
     carry = b""
+    sizes = (
+        [max(4096, chunk_bytes // 8)] * 2
+        + [max(4096, chunk_bytes // 4), max(4096, chunk_bytes // 2)]
+        if ramp
+        else []
+    )
     while True:
-        blk = stream.read(chunk_bytes)
+        blk = stream.read(sizes.pop(0) if sizes else chunk_bytes)
         if not blk:
             break
         if isinstance(blk, str):
@@ -189,6 +218,13 @@ def run_stream_hybrid(
         )
     maxq = 8
     margin = 1.2
+    # Profitability threshold for the steal rule: the device worker's
+    # host-side stages get ~threads//4 of the cores, so its break-even
+    # rate is (threads / that share) x the host engine's. Overridable
+    # for boxes where the device's host-stage cost is negligible.
+    beta = float(os.environ.get("DAGCON_HYBRID_BETA", "0")) or (
+        cfg.threads / max(1, cfg.threads // 4)
+    )
     # Reorder-window cap: don't issue chunk k while chunk k - cap is
     # still unwritten. Bounds the writer's `buffered` dict (worst case
     # one stalled worker holds the window open while the other races
@@ -249,7 +285,7 @@ def run_stream_hybrid(
             return True
         return dev_should_pull(
             [len(dd) for _, dd in pending],
-            h_spb[0], d_spb[0], chunker_done[0], margin,
+            h_spb[0], d_spb[0], chunker_done[0], margin, beta,
         )
 
     def get_chunk(is_dev: bool):

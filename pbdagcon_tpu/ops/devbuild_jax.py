@@ -1480,6 +1480,21 @@ def assemble_band(
         win, wkey, flags,
         is_bb & ~at_L, nxt_lin - vb, ctor_cnt, jnp.zeros_like(vb),
     )
+    # Per-target hard band requirement: the max span of the two classes
+    # that MUST fit the band (trie-parent and ctor edges — everything
+    # else routes long spans to the K file). The pipeline adapts the W
+    # rung of FUTURE batches from this, so the band stays as narrow as
+    # the workload actually needs; undersized picks only flag.
+    def _maxspan(present, span):
+        return jnp.max(
+            jnp.where(present & in_range & (span >= 1), span, 0),
+            axis=-1,
+        )
+
+    wneed = jnp.maximum(
+        _maxspan(is_trie & ~t_isx, t_par - vb),
+        _maxspan(is_bb & ~at_L, nxt_lin - vb),
+    )
     # exit edges: ctor at p == Lr (count = exit transitions + absorption
     # bonus, folded in p-space before the sort), else threaded exit
     # transitions when present.
@@ -1810,6 +1825,8 @@ def assemble_band(
         "n": n_total,
         "enter": enter,
         "flags": flags,
+        "wneed": wneed,
+        "nlong": n_long,
     }
 
 

@@ -142,8 +142,17 @@ def test_dev_should_pull_rule():
     # is longer than the host's drain of the rest (1e-5*100 = 1ms) —
     # the device must NOT become the critical-path tail.
     assert not dev_should_pull([100, 100], 1e-5, 1e-4, True)
-    # ...but with a deep backlog the slow device still helps.
-    assert dev_should_pull([100] + [100] * 50, 1e-5, 1e-4, True)
+    # Profitability gate: a measured device slower than beta x host is
+    # net-negative (its host-side stages cost ~1/beta of the cores), so
+    # it retires even with a deep backlog or mid-stream...
+    assert not dev_should_pull([100] + [100] * 50, 1e-5, 1e-4, True)
+    assert not dev_should_pull([100, 100, 100], 1e-5, 1e-4, False)
+    # ...unless beta says its host-stage cost is negligible.
+    assert dev_should_pull([100] + [100] * 50, 1e-5, 1e-4, True, beta=20)
+    # Unmeasured device rate mid-stream: one probe pull is allowed.
+    assert dev_should_pull([100, 100, 100], 1e-5, None, False)
+    # A profitable device (d < beta * h) keeps pulling mid-stream.
+    assert dev_should_pull([100, 100], 1e-5, 2e-5, False)
     # Empty queue: nothing to pull.
     assert not dev_should_pull([], 1e-5, 1e-6, True)
 
