@@ -209,7 +209,12 @@ def main() -> int:
             dcfg = DagconConfig(
                 min_weight=cfg.min_weight, min_length=cfg.min_length,
                 threads=cfg.threads, backend="devbuild", fmt=cfg.fmt,
-                align=cfg.align, batch_targets=cfg.batch_targets,
+                # One window per 128-target batch (the top B rung):
+                # host encode of window k+1 then overlaps the device
+                # compute of window k. One giant window serializes the
+                # whole encode in front of the first dispatch (measured
+                # 107k -> 130k b/s).
+                align=cfg.align, batch_targets=128,
             )
             out = io.StringIO()
             run_stream(  # warmup/compile
@@ -285,6 +290,9 @@ def main() -> int:
                     nd_need=int(metas[:, 3].max()),
                     dq_need=int(metas[:, 7].max()),
                     se_need=int(metas[:, 8].max()),
+                    # the rung the adaptive pipeline settles on for this
+                    # workload (K-file pressure keeps it off 48)
+                    w_need=64,
                 )
                 NI = ins_cap(caps)
                 part = [

@@ -9,18 +9,23 @@
 // DAZZ_DB files when available.
 //
 // Layout assumptions (64-bit little-endian, natural struct alignment):
-//   .<root>.idx : DAZZ_DB header block (struct below, 120 bytes
-//                 including pointer slots stored as garbage), then
-//                 `ureads` DAZZ_READ records of 40 bytes:
+//   .<root>.idx : one HITS_DB struct dump (112 bytes on LP64:
+//                 ureads/treads/cutoff/allarr + float freq[4] + maxlen
+//                 + 4 pad + int64 totlen + nreads/trimmed/part/ufirst/
+//                 tfirst + 4 pad + 5 pointer slots stored as garbage),
+//                 then `ureads` HITS_READ records of 40 bytes:
 //                   int origin; int rlen; int fpulse;  (+4 pad)
 //                   int64 boff; int64 coff; int flags; (+4 pad)
 //   .<root>.bps : 2-bit packed bases, 4 per byte, high bits first
 //                 (base = (byte >> (6 - 2*k)) & 3 -> ACGT).
-//   <root>.las  : int64 novl; int tspace; (+4 pad) then per overlap a
-//                 40-byte record (the in-memory Overlap struct minus
-//                 its leading trace pointer):
-//                   int tlen; int diffs; int abpos; int aepos;
-//                   int bbpos; int bepos; uint32 flags;
+//   <root>.las  : int64 novl; int tspace; (12 bytes — align.c writes
+//                 the two fields with separate fwrites, so there is NO
+//                 struct padding) then per overlap a 40-byte record
+//                 (sizeof(Overlap) - ptr: the in-memory Overlap minus
+//                 its leading trace pointer; Path stores the begin
+//                 pair then the end pair):
+//                   int tlen; int diffs; int abpos; int bbpos;
+//                   int aepos; int bepos; uint32 flags;
 //                   int aread; int bread; (+4 pad)
 //                 followed by tlen trace bytes (tspace <= 125) or
 //                 2*tlen bytes (uint16 traces) — skipped here; dazcon
@@ -100,9 +105,10 @@ static std::string hidden(const std::string& dbpath, const char* ext) {
   return dir + "." + root + "." + ext;
 }
 
-static const size_t kIdxHeader = 120;  // DAZZ_DB struct dump size
+static const size_t kIdxHeader = 112;  // sizeof(HITS_DB) on LP64
 static const size_t kReadRec = 40;
-static const size_t kLasHeader = 16;  // int64 novl + int tspace + pad
+static const size_t kLasHeader = 12;  // int64 novl + int tspace
+// (two separate fwrites in align.c — NO struct padding on disk)
 static const size_t kOvlRec = 40;
 static const uint32_t kCompFlag = 0x1;
 static const int kQvTracks = 5;
@@ -256,9 +262,11 @@ void* las_open(const char* path) {
     uint32_t flags;
     memcpy(&tlen, r + 0, 4);
     memcpy(&o.diffs, r + 4, 4);
+    // Path field order on disk: abpos, bbpos (begin pair), then
+    // aepos, bepos (end pair) — align.h's Path struct.
     memcpy(&o.abpos, r + 8, 4);
-    memcpy(&o.aepos, r + 12, 4);
-    memcpy(&o.bbpos, r + 16, 4);
+    memcpy(&o.bbpos, r + 12, 4);
+    memcpy(&o.aepos, r + 16, 4);
     memcpy(&o.bepos, r + 20, 4);
     memcpy(&flags, r + 24, 4);
     memcpy(&o.aread, r + 28, 4);

@@ -20,9 +20,9 @@ import numpy as np
 
 from pbdagcon_tpu import native as _native
 
-_IDX_HEADER = 120
+_IDX_HEADER = 112  # sizeof(HITS_DB), LP64
 _READ_REC = 40
-_LAS_HEADER = 16
+_LAS_HEADER = 12  # int64 novl + int tspace, no padding
 _OVL_REC = 40
 _COMP_FLAG = 0x1
 
@@ -374,9 +374,11 @@ def write_las(path: str, overlaps: list[Overlap], tspace: int = 100) -> None:
         rec = bytearray(_OVL_REC)
         struct.pack_into("<i", rec, 0, 2 * len(trace))  # tlen = #values
         struct.pack_into("<i", rec, 4, o.diffs)
+        # Path order on disk: begin pair (abpos, bbpos) then end
+        # pair (aepos, bepos) — align.h's Path struct.
         struct.pack_into("<i", rec, 8, o.abpos)
-        struct.pack_into("<i", rec, 12, o.aepos)
-        struct.pack_into("<i", rec, 16, o.bbpos)
+        struct.pack_into("<i", rec, 12, o.bbpos)
+        struct.pack_into("<i", rec, 16, o.aepos)
         struct.pack_into("<i", rec, 20, o.bepos)
         struct.pack_into("<I", rec, 24, _COMP_FLAG if o.comp else 0)
         struct.pack_into("<i", rec, 28, o.aread)

@@ -284,7 +284,7 @@ class TestHostileContainers:
         # Huge boff on read 1 -> points past .bps -> clean open failure.
         db, idx, _ = self._fresh(tmp_path, "t3.db")
         data = bytearray(open(idx, "rb").read())
-        off = 120 + 1 * 40 + 16  # read 1's boff field
+        off = 112 + 1 * 40 + 16  # read 1's boff field
         data[off : off + 8] = struct.pack("<q", 1 << 40)
         open(idx, "wb").write(bytes(data))
         with pytest.raises(OSError):
@@ -292,7 +292,7 @@ class TestHostileContainers:
         # Negative rlen on read 0.
         db, idx, _ = self._fresh(tmp_path, "t4.db")
         data = bytearray(open(idx, "rb").read())
-        data[120 + 4 : 120 + 8] = struct.pack("<i", -5)
+        data[112 + 4 : 112 + 8] = struct.pack("<i", -5)
         open(idx, "wb").write(bytes(data))
         with pytest.raises(OSError):
             DazzDb(db)
@@ -383,3 +383,54 @@ class TestHostileContainers:
         open(qvs, "wb").write(bytes(bad))
         with pytest.raises(OSError):
             DazzQv(db)
+
+
+class TestUpstreamLayoutPins:
+    """Pin the on-disk constants to the published DAZZ_DB/DALIGNER
+    struct definitions (DB.h HITS_DB/HITS_READ, align.h Path/Overlap,
+    align.c Write_Overlap) so they cannot silently drift back to the
+    round-1/2 reconstructions (which were wrong by 8/4 bytes and
+    swapped the Path coordinate pairs)."""
+
+    def test_idx_header_is_sizeof_hits_db(self):
+        from pbdagcon_tpu.dazzio import _IDX_HEADER, _READ_REC
+
+        # HITS_DB on LP64: 4*4 (ureads/treads/cutoff/allarr) + 16
+        # (freq[4]) + 4 (maxlen) + 4 pad + 8 (totlen) + 5*4 (nreads/
+        # trimmed/part/ufirst/tfirst) + 4 pad + 5*8 (pointer slots).
+        assert _IDX_HEADER == 16 + 16 + 4 + 4 + 8 + 20 + 4 + 40 == 112
+        # HITS_READ: 3*4 + 4 pad + 8 + 8 + 4 + 4 pad.
+        assert _READ_REC == 40
+
+    def test_las_header_and_overlap_record(self, tmp_path):
+        import struct
+
+        from pbdagcon_tpu.dazzio import (
+            _LAS_HEADER, _OVL_REC, Overlap, write_las,
+        )
+
+        # align.c writes int64 novl then int tspace as two separate
+        # fwrites: 12 bytes, NO struct padding.
+        assert _LAS_HEADER == 12
+        # sizeof(Overlap) - sizeof(void*) = 48 - 8.
+        assert _OVL_REC == 40
+        las = str(tmp_path / "pin.las")
+        write_las(
+            las,
+            [Overlap(aread=7, bread=9, comp=False, abpos=11, aepos=22,
+                     bbpos=33, bepos=44, diffs=5, trace=((1, 2),))],
+            tspace=100,
+        )
+        raw = open(las, "rb").read()
+        (novl,) = struct.unpack_from("<q", raw, 0)
+        (tspace,) = struct.unpack_from("<i", raw, 8)
+        assert (novl, tspace) == (1, 100)
+        rec = raw[_LAS_HEADER : _LAS_HEADER + _OVL_REC]
+        tlen, diffs, abpos, bbpos, aepos, bepos = struct.unpack_from(
+            "<6i", rec, 0
+        )
+        # Path stores the BEGIN pair then the END pair.
+        assert (abpos, bbpos, aepos, bepos) == (11, 33, 22, 44)
+        assert (tlen, diffs) == (2, 5)
+        flags, aread, bread = struct.unpack_from("<Iii", rec, 24)
+        assert (aread, bread) == (7, 9)

@@ -60,6 +60,7 @@ def main() -> int:
         nd_need=int(metas[:, 3].max()),
         dq_need=int(metas[:, 7].max()),
         se_need=int(metas[:, 8].max()),
+        w_need=int(sys.argv[3]) if len(sys.argv) > 3 else 64,
     )
     NI = ins_cap(caps)
     part = [i for i in range(count) if int(metas[i, 3]) <= NI][: caps.B]
