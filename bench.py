@@ -379,8 +379,13 @@ def main() -> int:
                 align=cfg.align, batch_targets=cfg.batch_targets,
             )
             out = io.StringIO()
-            run_stream(  # warmup on the short stream (compile shapes)
-                io.TextIOWrapper(io.BytesIO(text)), FastaWriter(out), hcfg
+            # Warmup on the SAME stream: the device probe chunk's caps
+            # depend on the exact chunk composition, so warming on a
+            # different stream leaves its shapes uncompiled and a
+            # first-ever jit (~80s) lands inside the timed run.
+            run_stream(
+                io.TextIOWrapper(io.BytesIO(hy_text)), FastaWriter(out),
+                hcfg,
             )
             out = io.StringIO()
             t = time.time()

@@ -111,6 +111,7 @@ def caps_for(
     dq_need: int | None = None,
     se_need: int | None = None,
     w_need: int | None = None,
+    v_need: int | None = None,
 ):
     """Build-shape caps from the primary bucket dims.
 
@@ -149,6 +150,14 @@ def caps_for(
     W = cfg.W
     if w_need is not None:
         W = _ladder(max(1, w_need), _W_LADDER) or _W_LADDER[-1]
+    # Linear-graph length: L + ND is the safe bound (every inserted
+    # base could become a node), but the post-merge node count the
+    # build measures is typically ~25% smaller; when the pipeline has
+    # an observed `v_need` it shrinks V (multiple of 256 — the blocked
+    # DP requires V % 64 == 0). Undersized V only flags (over_v).
+    V = L + ND
+    if v_need is not None:
+        V = min(V, max(512, -(-v_need // 256) * 256))
     return Caps(
         B=B, R=R, C=C, L=L,
         CH=CH,
@@ -157,7 +166,7 @@ def caps_for(
         ND=ND,
         SE=SE,
         DQ=DQ,
-        V=L + ND,
+        V=V,
         W=W,
         K=cfg.K,
     )
@@ -406,12 +415,14 @@ def run_devbuild_pipeline(
 # lowering is per jit-wrapper and costs ~0.5s at these shapes).
 _STEP_CACHE: dict = {}
 
-# Adaptive band-width state, also process-wide: the hybrid scheduler
-# calls run_devbuild_native once per ~3 MB chunk, and per-call state
-# would forget the learned rung between chunks. Keyed by bucket
-# (Rb, Cb, Lb, profile W), which characterizes the workload class.
+# Adaptive band-width / graph-length state, also process-wide: the
+# hybrid scheduler calls run_devbuild_native once per ~3 MB chunk, and
+# per-call state would forget the learned rungs between chunks. Keyed
+# by bucket (Rb, Cb, Lb, profile W), which characterizes the workload
+# class.
 _W_STATE: dict = {}
 _W_RECENT: dict = {}
+_V_STATE: dict = {}
 
 
 def run_devbuild_native(
@@ -457,16 +468,23 @@ def run_devbuild_native(
 
     w_state = _W_STATE
     w_recent = _W_RECENT
+    v_state = _V_STATE
 
-    def w_adapt(bkey: tuple, caps, wneed_max: int, nlong_max: int) -> None:
+    def w_adapt(
+        bkey: tuple, caps, wneed_max: int, nlong_max: int, n_max: int
+    ) -> None:
         rec = w_recent.setdefault(bkey, _collections.deque(maxlen=8))
-        rec.append((wneed_max, nlong_max))
-        need = max(w for w, _ in rec)
+        rec.append((wneed_max, nlong_max, n_max))
+        need = max(w for w, _, _ in rec)
         rung = _ladder(max(need, 32), _W_LADDER) or _W_LADDER[-1]
-        if max(nl for _, nl in rec) > caps.K * 3 // 4:
+        if max(nl for _, nl, _ in rec) > caps.K * 3 // 4:
             nxt = [w for w in _W_LADDER if w > rung]
             rung = nxt[0] if nxt else rung
+        # V shrinks toward the measured node count (+12% headroom for
+        # batch-to-batch variation); `n` is exact even on flagged
+        # targets, so an undersized pick self-corrects next batch.
         w_state[bkey] = rung
+        v_state[bkey] = int(1.12 * max(n for _, _, n in rec)) + 1
 
     # Three dispatches per batch (build / DP / backtrack), NOT one fused
     # program: fusing them holds every build intermediate plus the
@@ -540,6 +558,7 @@ def run_devbuild_native(
                 # span requirement and the K-file pressure this batch.
                 "wneed": build["wneed"],
                 "nlong": build["nlong"],
+                "nv": build["n"],
             }
 
         def step(ops, starts, bbuf, ins, Lr, mw):
@@ -646,7 +665,8 @@ def run_devbuild_native(
             _t1 = _time.time()
             phases["fetch"] += _t1 - _t0
             w_adapt(
-                bkey, caps, int(o["wneed"].max()), int(o["nlong"].max())
+                bkey, caps, int(o["wneed"].max()),
+                int(o["nlong"].max()), int(o["nv"].max()),
             )
             for j, i in enumerate(part):
                 if o["flags"][j] or o["ambiguous"][j] or o["overflow"][j]:
@@ -735,6 +755,7 @@ def run_devbuild_native(
                 dq_need=int(sub[:, 7].max()),
                 se_need=int(sub[:, 8].max()),
                 w_need=w_state.get(bkey, 48 if Rb <= 48 else prof.W),
+                v_need=v_state.get(bkey),
             )
             NI = ins_cap(caps)
             fallback.extend(

@@ -26,6 +26,13 @@ backlog is treated as effectively unbounded. Consequences:
   path with one long trailing chunk;
 - on a real TPU host (device pipeline faster than the host cores) the
   same rule lets the device pull almost everything;
+- a device measured slower than beta x host retires (its own host-side
+  stages cost ~1/beta of the cores, so its chunks are net-negative),
+  with a periodic re-probe in case the measurement was a one-time jit
+  compile;
+- an idle host HEDGES the device's in-flight chunk (re-processes a
+  copy; the writer keeps whichever byte-identical result lands first),
+  so a stalled device never blocks the output pipeline;
 - neither case needs configuration — both rates are measured in-run.
 """
 
@@ -231,6 +238,7 @@ def run_stream_hybrid(
     # ahead) to ~cap * chunk_bytes of FASTA instead of the whole output.
     reorder_cap = int(os.environ.get("DAGCON_HYBRID_REORDER_CAP", "16"))
     force_dev = os.environ.get("DAGCON_HYBRID_FORCE_DEV", "0") == "1"
+    hedge_on = os.environ.get("DAGCON_HYBRID_HEDGE", "1") == "1"
 
     cv = threading.Condition()
     pending: collections.deque = collections.deque()
@@ -240,6 +248,24 @@ def run_stream_hybrid(
     h_spb: list[float | None] = [None]  # host seconds/byte (EMA)
     d_spb: list[float | None] = [None]  # device seconds/byte (EMA)
     errors: list[BaseException] = []
+    # Hedging state (under cv): chunks the device currently holds, and
+    # chunk idxs already completed by either worker. An idle host
+    # re-processes the device's in-flight chunk instead of retiring:
+    # outputs are byte-identical, the writer keeps whichever result
+    # lands first, so a stalled device (cold jit compile, tunnel hiccup)
+    # can never stretch the critical path by more than one host redo.
+    dev_inflight: dict[int, bytes] = {}
+    completed: set[int] = set()
+    host_hedged: set[int] = set()
+    # A device slower than beta * host retires — but its one probe may
+    # have been compile-contaminated (first jit of a shape ladder).
+    # Allow a fresh probe after every reprobe_bytes of host progress so
+    # a warmed cache gets a second chance on long streams.
+    reprobe_bytes = (
+        int(os.environ.get("DAGCON_HYBRID_REPROBE_MB", "128")) << 20
+    )
+    host_bytes_done = [0]
+    probe_mark = [0]
 
     import queue as _queue
 
@@ -283,10 +309,23 @@ def run_stream_hybrid(
         # formulation in `dev_should_pull` (see its docstring).
         if force_dev:
             return True
-        return dev_should_pull(
+        d = d_spb[0]
+        if (
+            d is not None
+            and h_spb[0] is not None
+            and d > beta * h_spb[0]
+            and host_bytes_done[0] - probe_mark[0] >= reprobe_bytes
+        ):
+            # Re-probe: the gating measurement may have been a cold
+            # compile; treat the rate as unmeasured for one pull.
+            d = None
+        if not dev_should_pull(
             [len(dd) for _, dd in pending],
-            h_spb[0], d_spb[0], chunker_done[0], margin, beta,
-        )
+            h_spb[0], d, chunker_done[0], margin, beta,
+        ):
+            return False
+        probe_mark[0] = host_bytes_done[0]
+        return True
 
     def get_chunk(is_dev: bool):
         with cv:
@@ -299,11 +338,30 @@ def run_stream_hybrid(
                         continue
                     if not is_dev or _dev_should_pull():
                         item = pending.popleft()
+                        if is_dev:
+                            dev_inflight[item[0]] = item[1]
                         cv.notify_all()
                         return item
                     if chunker_done[0]:
                         return None  # backlog too small: retire
                 elif chunker_done[0]:
+                    if not is_dev and hedge_on:
+                        # Hedge: duplicate the lowest still-unfinished
+                        # device chunk instead of going idle.
+                        for hidx in sorted(dev_inflight):
+                            if (
+                                hidx not in completed
+                                and hidx not in host_hedged
+                            ):
+                                host_hedged.add(hidx)
+                                return (hidx, dev_inflight[hidx])
+                        if all(
+                            i in completed for i in dev_inflight
+                        ):
+                            return None
+                        # hedged already; wait for a result
+                        cv.wait(0.2)
+                        continue
                     return None
                 cv.wait(0.2)
 
@@ -326,6 +384,10 @@ def run_stream_hybrid(
                 dt_s = time.monotonic() - t0
                 _ema(h_spb, dt_s / max(1, len(data)))
                 td = eng.targets_done
+                with cv:
+                    completed.add(idx)
+                    host_bytes_done[0] += len(data)
+                    cv.notify_all()
                 resq.put(
                     (idx, text, td - prev_done, None, False, dt_s, len(data))
                 )
@@ -367,6 +429,10 @@ def run_stream_hybrid(
                 )
                 dt_s = time.monotonic() - t0
                 _ema(d_spb, dt_s / max(1, len(data)))
+                with cv:
+                    completed.add(idx)
+                    dev_inflight.pop(idx, None)
+                    cv.notify_all()
                 resq.put(
                     (idx, sio.getvalue(), st.targets, st, True, dt_s,
                      len(data))
@@ -387,7 +453,11 @@ def run_stream_hybrid(
     dt.start()
 
     # Writer (this thread): re-order chunk outputs to input order.
+    # A hedged chunk can produce TWO results; the first one wins and
+    # the duplicate is dropped (outputs are byte-identical, so which
+    # worker wins never changes the FASTA).
     buffered: dict[int, str] = {}
+    accepted: set[int] = set()
     expected = 0
     done_workers = 0
     dev_chunks = host_chunks = 0
@@ -398,6 +468,10 @@ def run_stream_hybrid(
                 done_workers += 1
                 continue
             idx, text, n, st, from_dev, dt_s, nbytes = item  # type: ignore[misc]
+            if idx >= 0 and idx in accepted:
+                continue  # hedge duplicate: first result already taken
+            if idx >= 0:
+                accepted.add(idx)
             if st is not None:
                 stats.batches += st.batches
                 stats.host_fallbacks += st.host_fallbacks

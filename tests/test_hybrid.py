@@ -87,6 +87,9 @@ def test_hybrid_matches_host(monkeypatch):
     # that BOTH workers actually processed chunks.
     monkeypatch.setenv("DAGCON_HYBRID_FORCE_DEV", "1")
     monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "8")
+    # Hedging off: with it on, the fast host would duplicate the forced
+    # device's chunks and win, deduping the device's results to zero.
+    monkeypatch.setenv("DAGCON_HYBRID_HEDGE", "0")
     text = _workload(n_targets=12, cov=8)
     host, _ = _run(text, "host")
     hyb, stats = _run(text, "hybrid", batch_targets=4)
@@ -360,3 +363,50 @@ def test_hybrid_degrades_without_native():
     host, _ = _run(text, "host", use_native=False)
     hyb, _ = _run(text, "hybrid", use_native=False)
     assert hyb == host
+
+
+def test_hybrid_host_hedges_stalled_device(monkeypatch):
+    """A device that stalls for a long time on its chunk (e.g. a cold
+    jit compile) must not block the output pipeline: the idle host
+    re-processes (hedges) the in-flight chunk, the writer takes the
+    first byte-identical result, and the run's wall time tracks the
+    HOST, not the stalled device."""
+    import time as _time
+
+    from pbdagcon_tpu import devpipe, native
+    from pbdagcon_tpu.hybrid import run_stream_hybrid
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "1")
+    monkeypatch.delenv("DAGCON_HYBRID_FORCE_DEV", raising=False)
+    _FakeHostEngine.spb = 1e-6
+    monkeypatch.setattr(native, "NativeEngine", _FakeHostEngine)
+    stall_s = 8.0
+
+    def stalled_devbuild(stream, writer, dcfg, st):
+        data = stream.read()
+        _time.sleep(stall_s)  # cold compile stand-in
+        fasta, n = _FakeHostEngine.fasta_for(data)
+        writer.stream.write(fasta)
+        st.targets = n
+        return st
+
+    monkeypatch.setattr(devpipe, "run_devbuild_native", stalled_devbuild)
+    text = _workload(n_targets=64, length=60, cov=3, seed=31)
+    buf = _io.StringIO()
+    cfg = DagconConfig(backend="hybrid", min_weight=3, min_length=50)
+    stats = PipelineStats()
+    t0 = _time.time()
+    run_stream_hybrid(_io.StringIO(text), FastaWriter(buf), cfg, stats)
+    wall = _time.time() - t0
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert buf.getvalue() == expect
+    assert stats.targets == 64
+    # The run must wait for the one stalled device chunk (the worker is
+    # joined) but NOT serialize the rest of the stream behind it; with
+    # hedging the host finishes everything else during the stall.
+    assert wall < stall_s + 3.0, f"hedging failed: wall {wall:.1f}s"
+    # The duplicate (hedged) result must not double-count bases.
+    assert stats.consensus_bases == sum(
+        len(l) for l in expect.splitlines() if not l.startswith(">")
+    )
