@@ -290,9 +290,13 @@ def main() -> int:
                     nd_need=int(metas[:, 3].max()),
                     dq_need=int(metas[:, 7].max()),
                     se_need=int(metas[:, 8].max()),
-                    # the rung the adaptive pipeline settles on for this
-                    # workload (K-file pressure keeps it off 48)
+                    # the rungs the adaptive pipeline settles on for
+                    # this workload: W off 48 via K-file pressure, V at
+                    # the measured node count + the pipeline's 12%
+                    # headroom (max_n from the host probe above IS the
+                    # per-target linear-graph size the build measures).
                     w_need=64,
+                    v_need=int(1.12 * max_n) + 1,
                 )
                 NI = ins_cap(caps)
                 part = [

@@ -78,6 +78,9 @@ def _rss_mb(pid: int) -> float:
     return 0.0
 
 
+BACKEND = ["host"]  # set from --backend in main()
+
+
 def _run(n, journal, out_path, kill_at=None, rss_log=None, tag=""):
     """One producer|consumer run; returns (rc, wall_s, samples)."""
     gen = subprocess.Popen(
@@ -89,13 +92,15 @@ def _run(n, journal, out_path, kill_at=None, rss_log=None, tag=""):
     con = subprocess.Popen(
         [
             sys.executable, "-m", "pbdagcon_tpu", "-",
-            "-c", "3", "-m", "100", "--backend", "host",
+            "-c", "3", "-m", "100", "--backend", BACKEND[0],
             "--journal", journal,
         ],
         stdin=gen.stdout, stdout=out_f, stderr=subprocess.DEVNULL,
         env={
             **os.environ, "PYTHONPATH": "/root/repo",
-            "JAX_PLATFORMS": "cpu",
+            # host soaks pin CPU; device-using backends keep the
+            # environment's platform (the tunneled chip on this box).
+            **({"JAX_PLATFORMS": "cpu"} if BACKEND[0] == "host" else {}),
         },
     )
     gen.stdout.close()
@@ -148,7 +153,10 @@ def main() -> int:
     ap.add_argument("--emit", type=int, default=None)
     ap.add_argument("--kill-at", type=float, default=0.4)
     ap.add_argument("--verify-full", action="store_true")
+    ap.add_argument("--backend", default="host",
+                    help="consumer backend (host/xla/devbuild/hybrid)")
     args = ap.parse_args()
+    BACKEND[0] = args.backend
     if args.emit is not None:
         return emit(args.emit)
 
