@@ -38,9 +38,14 @@ log = logging.getLogger("pbdagcon_tpu")
 # another 11% (-> 63k). Finer rungs cost compile shapes; the persistent
 # compilation cache (config.enable_compile_cache) amortizes them.
 _B_LADDER = (8, 32, 128)
-_R_LADDER = (16, 32, 48, 128, 512)
-_C_LADDER = (256, 1536, 4096, 16384)
-_L_LADDER = (256, 1024, 4096, 16384)
+# Finer primary rungs (r3): the bench pileup (1000bp x 30x) needs
+# C=1240/R=30 and paid the 1536/32 rungs' 24% column padding in every
+# R*C-wide sort; mixed streams (soak classes 300-6000bp, 8-60x) paid up
+# to 4x on C and 2x on R. Need-snapping keeps one compiled shape per
+# rung actually hit; the persistent compile cache amortizes new rungs.
+_R_LADDER = (16, 32, 48, 64, 96, 128, 256, 512)
+_C_LADDER = (256, 512, 768, 1280, 1536, 2048, 4096, 8192, 16384)
+_L_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384)
 
 
 def _ladder(x: int, ladder: tuple[int, ...]) -> int | None:
@@ -99,7 +104,9 @@ _W_LADDER = (32, 48, 64, 96, 128)  # band width: adapted per bucket from
 _CH_LADDER = (32, 64, 128, 192, 256, 512)
 _ND_LADDER = (768, 1536, 3072, 4608, 6144, 8448, 12288, (1 << 14) - 1)
 _DQ_LADDER = (4, 6, 8, 12)
-_SE_LADDER = (4, 8, 16)
+_SE_LADDER = (4, 8, 12, 14, 16)  # fine top rungs: the SE slot loop and
+# its [B, SE, V] transport scale linearly with the rung, and bench-like
+# pileups measure se_need 13 — a 14 rung shaves 12% off that block.
 
 
 def caps_for(

@@ -694,7 +694,25 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # key = p * (DQ+2) + dq, payload packed (read << 18 | orig t); the
     # first element of each sorted run is the minimum payload.
     KPAD = (caps.L + 2) * (DQ + 2) + 1
-    if KPAD < 0xFFFF and caps.R < 0xFFFF and caps.L + 2 < 0xFFFF:
+    s_pack = None
+    if (
+        KPAD < 0xFFFF
+        and caps.R * (caps.L + 2) <= 0xFFFF
+    ):
+        # u16 sort, payload packed read*(L+2)+t into ONE u16 (t < L+2,
+        # so numeric order == lexicographic (read, t) order): 2 sorted
+        # operands instead of 3 — a third off this sort's traffic.
+        dkey = jnp.where(
+            died & (dd >= 1) & (dd <= DQ),
+            (pf * (DQ + 2) + dd).astype(jnp.uint16),
+            jnp.uint16(KPAD),
+        )
+        sk2, s_pack = jax.lax.sort(
+            (dkey,
+             (read * (caps.L + 2) + tf).astype(jnp.uint16)),
+            dimension=-1, num_keys=2,
+        )
+    elif KPAD < 0xFFFF and caps.R < 0xFFFF and caps.L + 2 < 0xFFFF:
         # u16 sort (half traffic): min-(read, t) ordering preserved by
         # sorting the split payloads as secondary/tertiary keys.
         dkey = jnp.where(
@@ -728,16 +746,16 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     kmatch = (
         jnp.take_along_axis(sk2, fic, axis=-1).astype(I32) == tk
     )
-    died_read = jnp.where(
-        kmatch,
-        jnp.take_along_axis(s_rd, fic, axis=-1).astype(I32),
-        BIG,
-    ).reshape(B, caps.L + 2, DQ)
-    died_t = jnp.where(
-        kmatch,
-        jnp.take_along_axis(s_tf, fic, axis=-1).astype(I32),
-        0,
-    ).reshape(B, caps.L + 2, DQ)
+    if s_pack is not None:
+        # one gather of the packed payload, unpack after.
+        g_pack = jnp.take_along_axis(s_pack, fic, axis=-1).astype(I32)
+        g_rd = g_pack // (caps.L + 2)
+        g_tf = g_pack % (caps.L + 2)
+    else:
+        g_rd = jnp.take_along_axis(s_rd, fic, axis=-1).astype(I32)
+        g_tf = jnp.take_along_axis(s_tf, fic, axis=-1).astype(I32)
+    died_read = jnp.where(kmatch, g_rd, BIG).reshape(B, caps.L + 2, DQ)
+    died_t = jnp.where(kmatch, g_tf, 0).reshape(B, caps.L + 2, DQ)
     if _upto == 5:
         return {"died_cnt_pq": died_cnt_pq, "died_read": died_read,
                 "died_t": died_t}
