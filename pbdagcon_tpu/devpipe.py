@@ -430,6 +430,13 @@ _STEP_CACHE: dict = {}
 _W_STATE: dict = {}
 _W_RECENT: dict = {}
 _V_STATE: dict = {}
+# Sticky secondary needs (ch/sm/nd/dq/se) per bucket: window-local
+# maxima flip rungs batch to batch (e.g. se_need 13 then 15 picks the
+# 14 then the 16 rung), and every distinct caps is a fresh compiled
+# program — ~minutes through the tunnel. Aggregating needs over the
+# recent-window deque (same pattern as the W/V adaptation) keeps one
+# caps per workload class while still tracking real shifts.
+_NEED_RECENT: dict = {}
 
 
 def run_devbuild_native(
@@ -753,14 +760,23 @@ def run_devbuild_native(
         for (Rb, Cb, Lb), idxs in buckets.items():
             sub = metas[idxs]
             bkey = (Rb, Cb, Lb, prof.W)
+            # Sticky needs: rungs from the max over the recent windows
+            # of this bucket, not this window alone (see _NEED_RECENT).
+            nrec = _NEED_RECENT.setdefault(
+                bkey, _collections.deque(maxlen=8)
+            )
+            nrec.append(tuple(int(sub[:, c].max()) for c in (5, 6, 3, 7, 8)))
+            ch_n, sm_n, nd_n, dq_n, se_n = (
+                max(t[k] for t in nrec) for k in range(5)
+            )
             caps = caps_for(
                 _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
                 Rb, Cb, Lb, prof,
-                ch_need=int(sub[:, 5].max()),
-                sm_need=int(sub[:, 6].max()),
-                nd_need=int(sub[:, 3].max()),
-                dq_need=int(sub[:, 7].max()),
-                se_need=int(sub[:, 8].max()),
+                ch_need=ch_n,
+                sm_need=sm_n,
+                nd_need=nd_n,
+                dq_need=dq_n,
+                se_need=se_n,
                 w_need=w_state.get(bkey, 48 if Rb <= 48 else prof.W),
                 v_need=v_state.get(bkey),
             )
