@@ -344,6 +344,18 @@ def run_devbuild_pipeline(
                 nd_n = max(nd_n, len(e.ins_base))
                 dq_n = max(dq_n, d_)
                 se_n = max(se_n, a_)
+            # Sticky needs across flushes (same rationale as the native
+            # path's _NEED_RECENT: per-flush maxima flip rungs and every
+            # distinct caps is a fresh compile).
+            import collections as _collections
+
+            nrec = _NEED_RECENT.setdefault(
+                (Rb, Cb, Lb, prof.W), _collections.deque(maxlen=8)
+            )
+            nrec.append((ch_n, sm_n, nd_n, dq_n, se_n))
+            ch_n, sm_n, nd_n, dq_n, se_n = (
+                max(t[k] for t in nrec) for k in range(5)
+            )
             caps = caps_for(
                 Bb, Rb, Cb, Lb, prof,
                 ch_need=ch_n, sm_need=sm_n, nd_need=nd_n,
