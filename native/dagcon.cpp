@@ -1908,6 +1908,69 @@ int dagcon_enc_fill(void* h, const int32_t* idxs, int nidx, int R, int C,
   return bad.load();
 }
 
+// Packed variant of dagcon_enc_fill: ops codes are 2-bit ({PAD, MATCH,
+// DEL, INS} = 0..3), so four columns pack into one byte (col 4k in bits
+// 0-1 of byte k). `opsp` is [n, R, C/4] (C must be a multiple of 4);
+// every other array matches dagcon_enc_fill. Quarters the dominant
+// upload through the host<->device link; the device unpacks with two
+// vector ops inside the build program.
+int dagcon_enc_fill_packed(void* h, const int32_t* idxs, int nidx, int R,
+                           int C, int L, long NI, uint8_t* opsp,
+                           int32_t* starts, uint8_t* bb, uint8_t* ins,
+                           int32_t* Lr) {
+  if (C % 4 != 0) return -1;
+  Engine* e = (Engine*)h;
+  std::lock_guard<std::mutex> lk(e->linears_mu);
+  std::atomic<int> bad(0);
+  int C4 = C >> 2;
+  e->parallel_groups((size_t)nidx, [&](size_t b, Engine::Worker&) {
+    int idx = idxs[b];
+    if (idx < 0 || idx >= (int)e->encoded.size()) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    const Engine::EncTarget& t = e->encoded[idx];
+    if ((int)t.reads.size() > R || (int)t.bb.size() > L) {
+      int exp = 0;
+      bad.compare_exchange_strong(exp, (int)b + 1);
+      return;
+    }
+    uint8_t* ob = opsp + b * (size_t)R * C4;
+    int32_t* sb = starts + b * (size_t)R;
+    uint8_t* bbp = bb + b * (size_t)L;
+    uint8_t* ib = ins + b * (size_t)NI;
+    memcpy(bbp, t.bb.data(), t.bb.size());
+    Lr[b] = (int32_t)t.bb.size();
+    long ni = 0;
+    for (size_t r = 0; r < t.reads.size(); ++r) {
+      const auto& rd = t.reads[r];
+      if ((int)rd.ops.size() > C || ni + (long)rd.ins.size() > NI) {
+        int exp = 0;
+        bad.compare_exchange_strong(exp, (int)b + 1);
+        return;
+      }
+      sb[r] = rd.start;
+      const uint8_t* src = (const uint8_t*)rd.ops.data();
+      size_t m = rd.ops.size();
+      uint8_t* dst = ob + r * (size_t)C4;
+      size_t k = 0;
+      for (; k + 4 <= m; k += 4)
+        dst[k >> 2] = (uint8_t)(src[k] | (src[k + 1] << 2) |
+                                (src[k + 2] << 4) | (src[k + 3] << 6));
+      if (k < m) {
+        uint8_t v = 0;
+        for (size_t j = k; j < m; ++j)
+          v = (uint8_t)(v | (src[j] << ((j - k) * 2)));
+        dst[k >> 2] = v;  // tail bytes beyond m stay 0 = PAD
+      }
+      memcpy(ib + ni, rd.ins.data(), rd.ins.size());
+      ni += (long)rd.ins.size();
+    }
+  });
+  return bad.load();
+}
+
 void dagcon_enc_clear(void* h, int upto) {
   ((Engine*)h)->clear_encoded(upto);
 }

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -46,6 +47,13 @@ _B_LADDER = (8, 32, 128)
 _R_LADDER = (16, 32, 48, 64, 96, 128, 256, 512)
 _C_LADDER = (256, 512, 768, 1280, 1536, 2048, 4096, 8192, 16384)
 _L_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384)
+
+# 2-bit-pack the ops upload (4 column ops per byte): the ops stream is
+# the dominant upload (B*R*C bytes vs ~B*L for everything else), and
+# the host<->device link is the devbuild path's scarcest resource
+# (~45 MB/s through the tunnel). The device unpacks with two vector ops
+# fused into the build program. Kill switch for A/B measurement only.
+_PACK_OPS = os.environ.get("DAGCON_PACK_OPS", "1") == "1"
 
 
 def _ladder(x: int, ladder: tuple[int, ...]) -> int | None:
@@ -470,7 +478,10 @@ def run_devbuild_native(
     from pbdagcon_tpu import native
     from pbdagcon_tpu.io import format_fasta
     from pbdagcon_tpu.ops import devemit
-    from pbdagcon_tpu.ops.devbuild_jax import device_build
+    from pbdagcon_tpu.ops.devbuild_jax import (
+        device_build,
+        device_build_packed,
+    )
     from pbdagcon_tpu.ops.dp import dp_scores
 
     chunk_bytes = int(
@@ -572,13 +583,17 @@ def run_devbuild_native(
                     build["long_esc"],
                 )
             emit = devemit.backtrack_emit(build, scores, mw, P)
+            # Fetch-side wire format: bases are ASCII (< 128), so the
+            # kept bit rides the top bit of the base byte; backbone
+            # positions are <= L_LADDER max 16384, so i16 halves the
+            # largest fetched tensor. Unpacked in emit_window.
             return {
                 "flags": flags,
                 "ambiguous": emit["ambiguous"],
                 "overflow": emit["overflow"],
-                "bases": emit["bases"],
-                "kept": emit["kept"],
-                "bbpos": emit["bbpos"],
+                "bk": emit["bases"]
+                | (emit["kept"].astype(jnp.uint8) << 7),
+                "bbpos": emit["bbpos"].astype(jnp.int16),
                 "path_len": emit["path_len"],
                 # band-adaptation feedback (tiny [B] vectors): the hard
                 # span requirement and the K-file pressure this batch.
@@ -587,9 +602,16 @@ def run_devbuild_native(
                 "nv": build["n"],
             }
 
-        def step(ops, starts, bbuf, ins, Lr, mw):
-            build = device_build(ops, starts, bbuf, ins, Lr, caps)
-            return _dp_emit(build, mw)
+        if _PACK_OPS:
+            def step(ops, starts, bbuf, ins, Lr, mw):
+                build = device_build_packed(
+                    ops, starts, bbuf, ins, Lr, caps
+                )
+                return _dp_emit(build, mw)
+        else:
+            def step(ops, starts, bbuf, ins, Lr, mw):
+                build = device_build(ops, starts, bbuf, ins, Lr, caps)
+                return _dp_emit(build, mw)
 
         return step
 
@@ -694,12 +716,15 @@ def run_devbuild_native(
                 bkey, caps, int(o["wneed"].max()),
                 int(o["nlong"].max()), int(o["nv"].max()),
             )
+            bk = o["bk"]
+            bases_all = bk & 0x7F
+            kept_all = bk >= 128
             for j, i in enumerate(part):
                 if o["flags"][j] or o["ambiguous"][j] or o["overflow"][j]:
                     host_idx.append(i)
                 else:
                     res = devemit.assemble_fragments(
-                        o["bases"][j], o["kept"][j], o["bbpos"][j],
+                        bases_all[j], kept_all[j], o["bbpos"][j],
                         int(o["path_len"][j]), cfg.min_length,
                     )
                     texts[i] = format_fasta(win["sids"][i], res)
@@ -802,7 +827,12 @@ def run_devbuild_native(
             for lo in range(0, len(idxs), caps.B):
                 part = idxs[lo : lo + caps.B]
                 _t0 = _time.time()
-                ops, starts, bbuf, ins, Lrr = eng.enc_fill(
+                fill = (
+                    eng.enc_fill_packed
+                    if _PACK_OPS
+                    else eng.enc_fill
+                )
+                ops, starts, bbuf, ins, Lrr = fill(
                     [offset + i for i in part],
                     caps.R, caps.C, caps.L, NI, B=caps.B,
                 )

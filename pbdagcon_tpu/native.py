@@ -132,6 +132,11 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_long, u8p, i32p, u8p, u8p, i32p,
     ]
+    lib.dagcon_enc_fill_packed.restype = ctypes.c_int
+    lib.dagcon_enc_fill_packed.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, u8p, i32p, u8p, u8p, i32p,
+    ]
     lib.dagcon_enc_clear.restype = None
     lib.dagcon_enc_clear.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dagcon_enc_consensus.restype = ctypes.c_int
@@ -366,6 +371,38 @@ class NativeEngine:
             return a.ctypes.data_as(ctypes.POINTER(typ))
 
         rc = self._lib.dagcon_enc_fill(
+            self._h, p(ia, ctypes.c_int32), n, R, C, L, NI,
+            p(ops, ctypes.c_uint8), p(starts, ctypes.c_int32),
+            p(bb, ctypes.c_uint8), p(ins, ctypes.c_uint8),
+            p(Lr, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise ValueError(f"encoded target does not fit caps (rc={rc})")
+        return ops, starts, bb, ins, Lr
+
+    def enc_fill_packed(
+        self, idxs: list[int], R: int, C: int, L: int, NI: int,
+        B: int | None = None,
+    ) -> tuple[np.ndarray, ...]:
+        """Like enc_fill, but the ops stream is 2-bit packed: four
+        column ops per byte (col 4k in bits 0-1 of byte k), shape
+        [B, R, C//4]. C must be a multiple of 4. Quarters the dominant
+        device upload; unpacked inside the jitted build program."""
+        if C % 4 != 0:
+            raise ValueError(f"C={C} not a multiple of 4")
+        n = len(idxs)
+        Bp = max(B or n, n)
+        ops = np.zeros((Bp, R, C // 4), dtype=np.uint8)
+        starts = np.zeros((Bp, R), dtype=np.int32)
+        bb = np.zeros((Bp, L), dtype=np.uint8)
+        ins = np.zeros((Bp, NI), dtype=np.uint8)
+        Lr = np.zeros(Bp, dtype=np.int32)
+        ia = np.asarray(idxs, dtype=np.int32)
+
+        def p(a, typ):
+            return a.ctypes.data_as(ctypes.POINTER(typ))
+
+        rc = self._lib.dagcon_enc_fill_packed(
             self._h, p(ia, ctypes.c_int32), n, R, C, L, NI,
             p(ops, ctypes.c_uint8), p(starts, ctypes.c_int32),
             p(bb, ctypes.c_uint8), p(ins, ctypes.c_uint8),

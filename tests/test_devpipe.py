@@ -172,6 +172,56 @@ def test_native_meta_needs_match_python_chain_stats():
         assert tuple(metas[i, 5:9]) == (ch, sm, dq, se), f"target {i}"
 
 
+def test_enc_fill_packed_matches_unpacked():
+    """The 2-bit-packed fill must carry exactly the bytes of the plain
+    fill: unpacking [B, R, C//4] on the host AND through the jitted
+    unpack_ops both reproduce the plain ops array; every other output
+    array is byte-identical."""
+    import numpy as np
+    import pytest
+
+    from pbdagcon_tpu import native
+    from pbdagcon_tpu.ops.devbuild_jax import unpack_ops
+    from pbdagcon_tpu.simulate import to_pre_raw
+
+    if not native.available():
+        pytest.skip("native library not built")
+    lines = []
+    n_targets = 0
+    for tid, bb, alns in simulate_targets(7, 5, 240, 10):
+        n_targets += 1
+        for a in alns:
+            lines.append(to_pre_raw(a))
+    text = ("\n".join(lines) + "\n").encode()
+    with native.NativeEngine(
+        min_weight=2, min_length=50, threads=2, align=True
+    ) as eng:
+        count = eng.encode_text(text, fmt="pre", flush=True)
+        assert count == n_targets
+        metas = eng.enc_metas(count)
+        R = int(metas[:, 0].max())
+        C = (int(metas[:, 1].max()) + 3) // 4 * 4
+        L = int(metas[:, 2].max())
+        NI = int(metas[:, 3].max())
+        idxs = list(range(count))
+        ops, starts, bb_, ins, Lr = eng.enc_fill(idxs, R, C, L, NI)
+        opsp, starts2, bb2, ins2, Lr2 = eng.enc_fill_packed(
+            idxs, R, C, L, NI
+        )
+    assert opsp.shape == (count, R, C // 4)
+    # Host unpack (bit-for-bit the wire format).
+    host_unpacked = np.zeros_like(ops)
+    for j in range(4):
+        host_unpacked[:, :, j::4] = (opsp >> (2 * j)) & 3
+    np.testing.assert_array_equal(host_unpacked, ops)
+    # Device unpack helper.
+    np.testing.assert_array_equal(np.asarray(unpack_ops(opsp)), ops)
+    np.testing.assert_array_equal(starts2, starts)
+    np.testing.assert_array_equal(bb2, bb_)
+    np.testing.assert_array_equal(ins2, ins)
+    np.testing.assert_array_equal(Lr2, Lr)
+
+
 def test_devbuild_native_multi_window_streaming():
     """The three-stage threaded devbuild pipeline must keep engine
     indices aligned across >1 emission window (submit offsets shift as
