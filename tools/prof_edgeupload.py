@@ -9,6 +9,16 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import jax
+
+try:  # persistent cache: the CSR scatter AOT compile is minutes once
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from pbdagcon_tpu import native
 from pbdagcon_tpu.config import DagconConfig
 from pbdagcon_tpu.io import FastaWriter
