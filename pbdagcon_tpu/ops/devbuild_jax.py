@@ -45,6 +45,7 @@ from pbdagcon_tpu.ops.devbuild import (
     OP_INS,
     OP_MATCH,
 )
+from pbdagcon_tpu.ops.mxu import hist_lohi, mxu_hist, mxu_scatter
 
 I32 = jnp.int32
 
@@ -115,32 +116,23 @@ def coverage_and_matches(ops, starts, dec, caps: Caps):
     B, R, C, L = caps.B, caps.R, caps.C, caps.L
     HL = L + 2
     live = starts > 0
-    # coverage: +1 at start, -1 at end+1, prefix-summed over p.
-    INVAL = jnp.int32(2 * HL + 1)
+    # coverage: +1 at start, -1 at end+1, prefix-summed over p. Interval
+    # endpoint counts are a histogram over the [start | end+HL] domain —
+    # MXU one-hot counting (ops/mxu.py), no sort.
     ends1 = jnp.clip(dec["ends"] + 1, 0, HL - 1) + HL
-    iv = jnp.concatenate(
-        [jnp.where(live, starts, INVAL), jnp.where(live, ends1, INVAL)],
-        axis=-1,
+    iv = jnp.concatenate([starts, ends1], axis=-1)
+    c_iv = mxu_hist(
+        iv, jnp.concatenate([live, live], axis=-1), 2 * HL, chunk=4096
     )
-    siv = jnp.sort(iv, axis=-1)
-    qiv = jnp.broadcast_to(jnp.arange(2 * HL, dtype=I32), (B, 2 * HL))
-    lo_i, hi_i = _row_ss_lr(siv, qiv)
-    c_iv = hi_i - lo_i
     cov = jnp.cumsum(c_iv[:, :HL] - c_iv[:, HL:], axis=-1)
 
-    # matches[b, p] = # match columns consuming p (padding rows have no
-    # OP_MATCH, so no live mask is needed).
+    # matches[b, p] = # match columns consuming p: a histogram of the
+    # match columns' target positions (padding rows have no OP_MATCH).
     is_m = ops == OP_MATCH
-    # int16 sort: tpos <= L+1 <= 16385 always fits, and halving the
-    # element width halves this R*C-wide sort's traffic.
-    assert HL + 1 < (1 << 15)
-    mk = jnp.where(
-        is_m, dec["tpos"].astype(jnp.int16), jnp.int16(HL + 1)
-    ).reshape(B, R * C)
-    smk = jnp.sort(mk, axis=-1)
-    qp = jnp.broadcast_to(jnp.arange(HL, dtype=jnp.int16), (B, HL))
-    lo_m, hi_m = _row_ss_lr(smk, qp)
-    matches = hi_m - lo_m
+    matches = mxu_hist(
+        dec["tpos"].reshape(B, R * C), is_m.reshape(B, R * C), HL,
+        chunk=4096,
+    )
     return cov, matches
 
 
@@ -473,25 +465,33 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
         ],
         axis=-1,
     )
-    # 16-bit sort when the key space fits (R*C-wide sorts dominate this
-    # stage; halving the element width halves the sort traffic). BIG
-    # maps to 0xFFFF — still past every real key and every query.
+    # Event counts are a histogram over the regular key grid
+    # [(p, dq 1..DQ+1)] ++ [EOFF + q] — MXU one-hot counting + one
+    # cumsum replaces the old full-grid searchsorted co-sort; the counts
+    # and the first-occurrence index (exclusive prefix) both read off
+    # the reshaped histogram with pure slices.
+    DKEY = (L + 2) * (STRIDE + 1)  # > EOFF + L + 1
+    ev_valid = keys < BIG
+    h = mxu_hist(keys, ev_valid, DKEY, chunk=4096)
+    lo_full = jnp.cumsum(h, axis=-1, dtype=I32) - h  # exclusive
+    # The min creating read per key is the run head of the (key, read)
+    # sort; only the read payload is needed post-sort.
     if (L + 2) * STRIDE + (L + 2) < 0xFFFF and R < 0xFFFF:
         keys = jnp.minimum(keys, 0xFFFF).astype(jnp.uint16)
         reads = reads.astype(jnp.uint16)
-    sk, sr = jax.lax.sort((keys, reads), dimension=-1, num_keys=2)
-    NT = sk.shape[1]
-    # histogram per target key: interior/exit/enter grids at once.
-    qk = jnp.concatenate(
-        [
-            (jnp.arange(L + 2, dtype=I32)[:, None] * STRIDE
-             + jnp.arange(1, DQ + 2, dtype=I32)[None, :]).reshape(-1),
-            EOFF + jnp.arange(L + 2, dtype=I32),
-        ]
-    )  # [(L+2)*(DQ+1) + (L+2)]
-    qk = jnp.broadcast_to(qk, (B, qk.shape[0])).astype(sk.dtype)
-    lo, hi = _row_ss_lr(sk, qk)
-    cnt = hi - lo
+    _sk, sr = jax.lax.sort((keys, reads), dimension=-1, num_keys=2)
+    NT = sr.shape[1]
+
+    eoff_py = (L + 2) * STRIDE
+
+    def grid_parts(a):
+        intr = a[:, :eoff_py].reshape(B, L + 2, STRIDE)
+        return intr[..., 1 : DQ + 2], a[:, eoff_py : eoff_py + L + 2]
+
+    cnt_i, cnt_e = grid_parts(h)
+    lo_i, lo_e = grid_parts(lo_full)
+    cnt = jnp.concatenate([cnt_i.reshape(B, -1), cnt_e], axis=-1)
+    lo = jnp.concatenate([lo_i.reshape(B, -1), lo_e], axis=-1)
     rkey = jnp.where(
         cnt > 0,
         jnp.take_along_axis(sr, jnp.clip(lo, 0, NT - 1), axis=-1)
@@ -514,18 +514,8 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
 
 def _presence_hist(values, valid, upper, caps_n):
     """values [B, N] (valid mask) -> count per value in [0, upper):
-    scatter-free histogram via sort + searchsorted (16-bit when the
-    value domain fits — halves the sort traffic)."""
-    B, N = values.shape
-    dt = jnp.int16 if upper + 2 < (1 << 15) else I32
-    sv = jnp.sort(
-        jnp.where(valid, values.astype(dt), jnp.array(upper + 1, dt)),
-        axis=-1,
-    )
-    q = jnp.arange(upper, dtype=dt)
-    qb = jnp.broadcast_to(q, (B, upper))
-    lo, hi = _row_ss_lr(sv, qb)
-    return hi - lo
+    MXU one-hot histogram (ops/mxu.py) — counting, not sorting."""
+    return mxu_hist(values, valid, upper, chunk=4096)
 
 
 def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
@@ -733,19 +723,20 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
         sk2, s_rd, s_tf = jax.lax.sort(
             (dkey, read, tf), dimension=-1, num_keys=3
         )
-    # first occurrence index of each (p, dq) key:
-    target_keys = jnp.broadcast_to(
-        pidx[..., None] * (DQ + 2)
-        + jnp.arange(1, DQ + 1, dtype=I32)[None, None, :],
-        (B, caps.L + 2, DQ),
+    # counts + first-occurrence index per (p, dq) key: MXU histogram
+    # over the regular key grid + exclusive cumsum — pure slices, no
+    # searchsorted co-sort.
+    h2 = mxu_hist(
+        pf * (DQ + 2) + dd, died & (dd >= 1) & (dd <= DQ),
+        (caps.L + 2) * (DQ + 2), chunk=4096,
     )
-    tk = target_keys.reshape(B, -1)
-    fi, hi_ = _row_ss_lr(sk2, tk.astype(sk2.dtype))
-    died_cnt_pq = (hi_ - fi).reshape(B, caps.L + 2, DQ)
+    lo2 = jnp.cumsum(h2, axis=-1, dtype=I32) - h2
+    died_cnt_pq = (
+        h2.reshape(B, caps.L + 2, DQ + 2)[..., 1 : DQ + 1]
+    )
+    fi = lo2.reshape(B, caps.L + 2, DQ + 2)[..., 1 : DQ + 1].reshape(B, -1)
     fic = jnp.clip(fi, 0, N - 1)
-    kmatch = (
-        jnp.take_along_axis(sk2, fic, axis=-1).astype(I32) == tk
-    )
+    kmatch = died_cnt_pq.reshape(B, -1) > 0
     if s_pack is not None:
         # one gather of the packed payload, unpack after.
         g_pack = jnp.take_along_axis(s_pack, fic, axis=-1).astype(I32)
@@ -768,19 +759,10 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # sort ([B, 4N]) plus its wider searchsorted.
     assert 2 * ABR + 1 <= 7
     abs_any = valid & (kx > 0)
-    hdt = jnp.uint16 if 8 * HL + 8 < 0xFFFF else I32
-    ckey_h = jnp.where(
-        abs_any,
-        (jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32))
-        .astype(hdt),
-        jnp.array(8 * HL + 8, dtype=hdt),
-    )
-    sv_h = jnp.sort(ckey_h, axis=-1)
-    grid_h = jnp.broadcast_to(
-        jnp.arange(8 * HL + 1, dtype=hdt), (B, 8 * HL + 1)
-    )
-    bd_h = _row_searchsorted(sv_h, grid_h)
-    cnt_key = (bd_h[:, 1:] - bd_h[:, :-1]).reshape(B, HL, 8)
+    cnt_key = mxu_hist(
+        jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32),
+        abs_any, 8 * HL, chunk=4096,
+    ).reshape(B, HL, 8)
     csuf = jnp.cumsum(cnt_key[:, :, ::-1], axis=-1)[:, :, ::-1]
     bonus = jnp.zeros((B, HL), I32)
     strip_cnt = jnp.zeros((B, HL), I32)
@@ -1163,18 +1145,19 @@ def linearize_and_band(
     rank = jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))
     lin_trie = jnp.where(nvalid_t, rank + nt - 1, jnp.int32(1 << 28))
 
-    # nid -> lin map (nid compact 0..n_nodes-1): sort (nid, lin).
-    nid_key = jnp.where(nvalid_t, nnid, jnp.int32(1 << 28))
-    snid, slin = jax.lax.sort((nid_key, lin_trie), dimension=-1, num_keys=1)
+    # nid -> lin map: nid is the compact creation id 0..n_nodes-1 (a
+    # known rank), so the map is a unique-rank MXU scatter, not a sort.
+    slin = mxu_scatter(nnid, nvalid_t, (rank + nt - 1,), ND)[0]
 
-    def lin_of_nid(q):  # q [B, X] -> lin
+    def lin_of_nid(q):  # q [B, X] -> lin (invalid nids read 0)
         qc = jnp.clip(q, 0, ND - 1)
         return jnp.take_along_axis(slin, qc, axis=-1)
 
-    # backbone linear index: p - 1 + (#nodes with t <= p).
+    # backbone linear index: p - 1 + (#nodes with t <= p) — an MXU
+    # histogram of node t values + inclusive cumsum.
     pq = jnp.arange(L + 2, dtype=I32)
-    ct_le = _row_searchsorted(
-        nt, jnp.broadcast_to(pq, (B, L + 2)), side="right"
+    ct_le = jnp.cumsum(
+        mxu_hist(nt, nvalid_t, L + 2), axis=-1, dtype=I32
     )
     lin_bb_full = pq[None, :] - 1 + ct_le  # valid for p in 1..Lr
     n_total = Lr + n_nodes
@@ -1188,12 +1171,12 @@ def linearize_and_band(
         rank,
     )
     _p1, _p2, _p3, pr_src = jax.lax.sort(pr_keys, dimension=-1, num_keys=3)
-    # pre_rank[row pr_src[j]] = j: invert by sorting (pr_src, j).
-    inv1, inv2 = jax.lax.sort(
-        (pr_src, jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))),
-        dimension=-1, num_keys=1,
-    )
-    pre_rank = inv2  # aligned with table rows
+    # pre_rank[row pr_src[j]] = j: pr_src is a permutation of 0..ND-1,
+    # so the inverse is a unique-rank MXU scatter of j to rank pr_src.
+    pre_rank = mxu_scatter(
+        pr_src, jnp.ones_like(pr_src, bool),
+        (jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND)),), ND,
+    )[0]  # aligned with table rows
 
     if _upto == 3:
         return {"lin_bb_full": lin_bb_full, "pre_rank": pre_rank,
@@ -1280,12 +1263,11 @@ def linearize_and_band(
     if _upto == 5:
         return {"uniq": uniq, "se_count": se_count,
                 "se_anystrip": se_anystrip, "se_minrd": se_minrd}
-    # node survivor info for the key phase decision, via ONE node-table
-    # lookup by lin (lin_trie ascending) and two packed field words.
-    sn_clip = jnp.where(uniq, sn_, 0)
-    qc = jnp.clip(
-        _row_searchsorted(lin_trie, sn_clip, side="left"), 0, ND - 1
-    )
+    # node survivor info for the key phase decision: the two packed
+    # field words are scattered into lin-indexed tables (unique-rank
+    # MXU scatter over the ascending lin_trie) and fetched with ONE
+    # gather each — no searchsorted co-sort.
+    sn_clip = jnp.clip(jnp.where(uniq, sn_, 0), 0, V - 1)
     # w1: first-is-deep(1b @25) | svp(15b @10) | svrd(10b)
     w1 = (
         ((nsvlen == nd_).astype(I32) << 25) | (nsvp << 10) | nsvrd
@@ -1297,8 +1279,11 @@ def linearize_and_band(
         absb["strip_t"], jnp.clip(nt, 0, L + 1), axis=-1
     )
     w2 = (unc_node.astype(I32) << 29) | (pre_rank << 15)
-    g1 = jnp.take_along_axis(w1, qc, axis=-1)
-    g2w = jnp.take_along_axis(w2, qc, axis=-1)
+    w1_lin, w2_lin = mxu_scatter(
+        lin_trie, nvalid_t, (w1, w2), V, max_payload=1 << 30,
+    )
+    g1 = jnp.take_along_axis(w1_lin, sn_clip, axis=-1)
+    g2w = jnp.take_along_axis(w2_lin, sn_clip, axis=-1)
     nd_first_deep = g1 >> 25
     nd_first_p = (g1 >> 10) & ((1 << 15) - 1)
     nd_first_rd = g1 & ((1 << 10) - 1)
@@ -1674,15 +1659,17 @@ def assemble_band(
     # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
     # the per-slot v-space loop gathers 2 arrays instead of 3.
     su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
-    # Per backbone p: short run = rows with key exactly 2p. Slot tables
-    # are built in p-space ([B, SE, L+2], elementwise gathers on the
-    # small axis), then moved to v-space with ONE broadcast gather per
-    # field — the old per-slot v-space gathers dominated this stage.
+    # Per backbone p: short run = rows with key exactly 2p. Run bounds
+    # come from an MXU histogram of ukey over the 2-per-p grid + one
+    # cumsum (pure strided slices) — no searchsorted co-sort.
     HLp = L + 2
-    qk_p = jnp.broadcast_to(
-        jnp.arange(HLp, dtype=I32) * 2, (B, HLp)
-    ).astype(su_key.dtype)
-    lo_p, hi_p = _row_ss_lr(su_key, qk_p)
+    h_se = mxu_hist(
+        se["p"] * 2 + se_islong.astype(I32), se["uniq"], 2 * HLp,
+        chunk=4096,
+    )
+    lo_full_se = jnp.cumsum(h_se, axis=-1, dtype=I32) - h_se
+    lo_p = lo_full_se[:, 0::2]
+    hi_p = lo_p + h_se[:, 0::2]
     p_real = (
         (jnp.arange(HLp, dtype=I32)[None, :] >= 1)
         & (jnp.arange(HLp, dtype=I32)[None, :] <= Lr[:, None])
@@ -1727,15 +1714,16 @@ def assemble_band(
         return {"win": win, "wkey": wkey, "flags": flags}
     # long start edges -> K candidates; esc uses the target trie node's
     # coverage(anchor) (trie nodes are never unsupported-backbone).
+    # anchors scattered into lin-indexed space (unique-rank MXU
+    # scatter) and fetched with one gather — no searchsorted co-sort.
+    anch_lin = mxu_scatter(
+        linz["node"]["lin"], linz["node"]["valid"],
+        (linz["node"]["anchor"],), V,
+    )[0]
     se_anch = jnp.where(
         se_islong,
         jnp.take_along_axis(
-            linz["node"]["anchor"],
-            jnp.clip(
-                _row_searchsorted(linz["node"]["lin"], se["node_lin"]),
-                0, caps.ND - 1,
-            ),
-            axis=-1,
+            anch_lin, jnp.clip(se["node_lin"], 0, V - 1), axis=-1
         ),
         0,
     )
@@ -1761,20 +1749,25 @@ def assemble_band(
     ce = jnp.concatenate(lk_esc, axis=-1)
     cl = jnp.concatenate(lk_long, axis=-1) & (cc > 0)
     NLC = cu.shape[1]
-    ldt = jnp.uint16 if NLC < 0xFFFF else I32
-    sel_key = jnp.where(cl, jnp.array(0, ldt), jnp.array(1, ldt))
-    payload = jnp.broadcast_to(jnp.arange(NLC, dtype=ldt), (B, NLC))
-    sk_, sp_ = jax.lax.sort((sel_key, payload), dimension=-1, num_keys=2)
-    sp_ = sp_.astype(I32)
+    # stable compaction with known ranks (running count of long rows):
+    # a unique-rank MXU scatter of the source positions, not a sort.
+    lrank = jnp.cumsum(cl, axis=-1, dtype=I32) - 1
+    sp_k = mxu_scatter(
+        lrank, cl,
+        (jnp.broadcast_to(jnp.arange(NLC, dtype=I32), (B, NLC)),), K,
+        max_payload=1 << 24,
+    )[0]
     n_long = jnp.sum(cl, axis=-1)
     flags = flags | (n_long > K)
 
     def takeK(a):
         return jnp.take_along_axis(
-            a, jnp.clip(sp_[:, :K], 0, NLC - 1), axis=-1
+            a, jnp.clip(sp_k, 0, NLC - 1), axis=-1
         )
 
-    k_live = sk_[:, :K] == 0
+    k_live = (
+        jnp.arange(K, dtype=I32)[None, :] < jnp.minimum(n_long, K)[:, None]
+    )
     long_u = jnp.where(k_live, takeK(cu), -1)
     long_w = jnp.where(k_live, takeK(cw), -1)
     long_cnt = jnp.where(k_live, takeK(cc), 0)
@@ -1805,10 +1798,10 @@ def assemble_band(
     e_present = (e_cnt > 0) | (q == 1)
     e_present = e_present & (q >= 1) & (q <= Lr[:, None] + 1)
     e_key = jnp.where(q == 1, 0, e_key)
-    # enter start edges: p == 0 rows (ukey == 0; never routed to K).
-    zero = jnp.zeros((B, 1), dtype=su_key.dtype)
-    lo0_, hi0_ = _row_ss_lr(su_key, zero)
-    lo0, hi0 = lo0_[:, 0], hi0_[:, 0]
+    # enter start edges: p == 0 rows (ukey == 0; never routed to K) —
+    # run bounds read off the ukey histogram.
+    lo0 = jnp.zeros((B,), I32)
+    hi0 = h_se[:, 0]
     flags = flags | (hi0 - lo0 > SE)
     es_tgt, es_cnt, es_key, es_ok = [], [], [], []
     for si in range(SE):

@@ -1,0 +1,188 @@
+"""MXU-native histograms, grid searchsorted, and unique-rank scatters.
+
+The devbuild program's `lax.sort` calls fall into three families, two of
+which do not actually need a comparison sort:
+
+  1. **Histograms** — sort the values, then `searchsorted` a full
+     integer grid to read off run lengths. The counts per key over a
+     known domain D are a *counting* problem, not a sorting problem.
+  2. **Searchsorted on a full grid** — `lo[d] = #{v < d}`,
+     `hi[d] = #{v <= d}` for every d in 0..D-1. These are exclusive /
+     inclusive prefix sums of the same histogram.
+  3. **Scatters with known ranks** — "sort by key" where the key *is* a
+     precomputed destination rank (stable compaction by a flag, a
+     computed permutation, interleaving two ascending sequences). The
+     sort is only transport; the destination of every element is
+     already known.
+
+All three have an exact, sort-free MXU formulation via factorized
+one-hot matmuls. Write the destination d = dh*128 + dl; then
+
+    hist[dh, dl]  = sum_n A[n, dh] * B[n, dl]          =  A^T @ B
+    out[dh, dl]   = sum_n A[n, dh] * (B[n, dl] * p_n)  =  A^T @ (B*p)
+
+where A[n, dh] = 1[v_n div 128 == dh] (AND validity) and
+B[n, dl] = 1[v_n mod 128 == dl]. The cross terms vanish because the
+product A[n,dh]*B[n,dl] is 1 iff v_n == dh*128+dl exactly. One-hot
+entries are exactly 0.0/1.0 in bf16; with float32 accumulation
+(`preferred_element_type`) histogram counts are exact up to 2^24 and
+scatter payloads are exact when byte-split (each byte <= 255 is exact
+in bf16, and unique ranks mean each output cell receives exactly one
+nonzero term). This moves the work onto the systolic array — which is
+otherwise idle during the graph build — instead of XLA's O(N log^2 N)
+bitonic sorting network.
+
+Used by `ops/devbuild_jax.py` (reference: the `AlnGraphBoost`
+`addAln`/`mergeNodes` pipeline, src/cpp/AlnGraphBoost.cpp ~180-380,
+SURVEY.md §3.3 — reconstructed; mount empty). Bit-exactness is pinned
+by `tests/test_mxu.py` against NumPy and by the existing devbuild
+differential suite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+BF16 = jnp.bfloat16
+_LANES = 128
+
+
+def _pad_chunks(x, chunk, fill):
+    """[B, N] -> [B, nc, chunk] padded with `fill`."""
+    B, N = x.shape
+    nc = -(-N // chunk)
+    pad = nc * chunk - N
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((B, pad), fill, dtype=x.dtype)], axis=-1
+        )
+    return x.reshape(B, nc, chunk)
+
+
+def _factor_onehots(vals, dh_count):
+    """vals [B, Nc] i32 (invalid rows must hold -1) ->
+    A [B, Nc, dh_count] bf16, Bm [B, Nc, LANES] bf16."""
+    vh = vals // _LANES
+    vl = vals % _LANES  # -1 -> (-1, 127) in python semantics; vh=-1 kills it
+    a = (
+        vh[..., None] == jnp.arange(dh_count, dtype=I32)
+    ).astype(BF16)
+    bm = (
+        vl[..., None] == jnp.arange(_LANES, dtype=I32)
+    ).astype(BF16)
+    return a, bm
+
+
+def _matmul_acc(a, bm):
+    """Batched A^T @ B with f32 accumulation: [B, Nc, H] x [B, Nc, M]
+    -> [B, H, M]."""
+    return jax.lax.dot_general(
+        a, bm,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def mxu_hist(values, valid, D, *, chunk: int = 4096):
+    """Counts per value over domain [0, D): [B, N] -> [B, D] i32.
+
+    Exact: one-hot products are exactly 0/1 in bf16 and the f32
+    accumulator is exact below 2^24 (row widths here are <= 2^17)."""
+    B, N = values.shape
+    dh = -(-D // _LANES)
+    v = jnp.where(valid, values.astype(I32), jnp.int32(-1))
+    vc = _pad_chunks(v, chunk, -1)
+    nc = vc.shape[1]
+
+    def body(acc, vals):
+        a, bm = _factor_onehots(vals, dh)
+        return acc + _matmul_acc(a, bm), None
+
+    if nc == 1:
+        a, bm = _factor_onehots(vc[:, 0], dh)
+        acc = _matmul_acc(a, bm)
+    else:
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((B, dh, _LANES), jnp.float32),
+            jnp.moveaxis(vc, 1, 0),
+        )
+    return acc.reshape(B, dh * _LANES)[:, :D].astype(I32)
+
+
+def hist_lohi(values, valid, D, *, chunk: int = 4096):
+    """(lo, hi) over the FULL grid 0..D-1: lo[d] = #{v < d},
+    hi[d] = #{v <= d}. Replaces `sort + searchsorted(arange(D))`
+    (`_row_ss_lr` on a full-grid query) with hist + cumsum."""
+    h = mxu_hist(values, valid, D, chunk=chunk)
+    hi = jnp.cumsum(h, axis=-1, dtype=I32)
+    lo = hi - h
+    return lo, hi
+
+
+def mxu_scatter(ranks, valid, payloads, D, *, chunk: int = 4096,
+                max_payload: int = 1 << 16):
+    """Transport payloads to known destination ranks (sort-free
+    "scatter"): out[b, ranks[b, n]] = payloads[k][b, n].
+
+    Requires ranks unique among valid rows (a permutation /
+    compaction) — each output cell then receives exactly one nonzero
+    term, so the f32 result is the payload bit-exactly. Payloads are
+    byte-split so every bf16 factor is an exact small integer.
+
+    payloads: tuple of [B, N] integer arrays in [0, max_payload).
+    Returns tuple of [B, D] i32 (cells with no source read 0)."""
+    B, N = ranks.shape
+    dh = -(-D // _LANES)
+    nbytes = max(1, -(-(max_payload - 1).bit_length() // 8))
+    r = jnp.where(valid, ranks.astype(I32), jnp.int32(-1))
+    rc = _pad_chunks(r, chunk, -1)
+    pc = [
+        _pad_chunks(p.astype(I32), chunk, 0) for p in payloads
+    ]
+    nc = rc.shape[1]
+    NP = len(payloads)
+
+    def step(acc, xs):
+        vals = xs[0]
+        a, bm = _factor_onehots(vals, dh)
+        # stack payload bytes along the lane axis: one matmul moves
+        # every byte of every payload.
+        cols = []
+        for p in xs[1:]:
+            for by in range(nbytes):
+                cols.append(bm * ((p >> (8 * by)) & 0xFF).astype(BF16)[..., None])
+        rhs = jnp.concatenate(cols, axis=-1)  # [B, Nc, NP*nbytes*128]
+        return acc + _matmul_acc(a, rhs), None
+
+    acc0 = jnp.zeros((B, dh, NP * nbytes * _LANES), jnp.float32)
+    if nc == 1:
+        acc, _ = step(acc0, (rc[:, 0],) + tuple(p[:, 0] for p in pc))
+    else:
+        acc, _ = jax.lax.scan(
+            step,
+            acc0,
+            (jnp.moveaxis(rc, 1, 0),)
+            + tuple(jnp.moveaxis(p, 1, 0) for p in pc),
+        )
+    out = []
+    for k in range(NP):
+        tot = jnp.zeros((B, dh * _LANES), I32)
+        for by in range(nbytes):
+            sl = acc[:, :, (k * nbytes + by) * _LANES:
+                     (k * nbytes + by + 1) * _LANES]
+            tot = tot + (
+                sl.reshape(B, dh * _LANES).astype(I32) << (8 * by)
+            )
+        out.append(tot[:, :D])
+    return tuple(out)
+
+
+def mxu_scatter_presence(ranks, valid, D, *, chunk: int = 4096):
+    """Presence indicator at unique ranks: out[b, d] = 1 iff some valid
+    n has ranks[b, n] == d. One histogram, no payload."""
+    return mxu_hist(ranks, valid, D, chunk=chunk)
