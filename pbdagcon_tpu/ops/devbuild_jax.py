@@ -45,7 +45,12 @@ from pbdagcon_tpu.ops.devbuild import (
     OP_INS,
     OP_MATCH,
 )
-from pbdagcon_tpu.ops.mxu import hist_lohi, mxu_hist, mxu_scatter
+from pbdagcon_tpu.ops.mxu import (
+    hist_lohi,
+    mxu_gather,
+    mxu_hist,
+    mxu_scatter,
+)
 
 I32 = jnp.int32
 
@@ -298,8 +303,8 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     cf = jnp.clip(chain_first, 0, NI - 1)
     chain_seg = jnp.where(
         chain_valid,
-        jnp.take_along_axis(
-            seg_k, cf.reshape(B, R * CH), axis=-1
+        mxu_gather(
+            seg_k, cf.reshape(B, R * CH), max_val=1 << 15
         ).reshape(B, R, CH),
         0,
     )
@@ -311,9 +316,12 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     mprev = jnp.concatenate(
         [jnp.zeros((B, R, 1), I32), mpos[..., :-1]], axis=-1
     )
-    pairg = jnp.take_along_axis(
-        (mpos << 15) | mprev, jnp.clip(chain_seg, 0, C - 1), axis=-1
-    )
+    # per-read pair table lookup, batched as (B*R) rows on the MXU.
+    pairg = mxu_gather(
+        ((mpos << 15) | mprev).reshape(B * R, C),
+        jnp.clip(chain_seg, 0, C - 1).reshape(B * R, CH),
+        max_val=1 << 30,
+    ).reshape(B, R, CH)
     p_anchor = jnp.where(chain_seg == 0, 0, pairg & 0x7FFF)
     t_anchor = jnp.where(
         chain_seg < nmat[..., None], pairg >> 15, Lr[:, None, None] + 1
@@ -596,9 +604,11 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
             [jnp.zeros((B, j2), I32), ent[:, :-j2]], axis=-1
         )  # sh[p] = ent[p - j2]; p - j2 < 0 -> 0
         word = word | (sh << (7 * (j2 - 1)))
-    wt = jnp.take_along_axis(
-        word, jnp.clip(tf, 0, caps.L + 1), axis=-1
-    )  # [B, N]
+    # [B, N] lookup from the [B, L+2] word table: MXU one-hot gather
+    # (~5x the hardware per-index gather rate at this shape).
+    wt = mxu_gather(
+        word, jnp.clip(tf, 0, caps.L + 1), max_val=1 << (7 * J)
+    )
     ent_j = (wt[:, None, :] >> (7 * (jj[None, :, None] - 1))) & 0x7F
     ok = (
         valid[:, None, :]
@@ -738,13 +748,17 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     fic = jnp.clip(fi, 0, N - 1)
     kmatch = died_cnt_pq.reshape(B, -1) > 0
     if s_pack is not None:
-        # one gather of the packed payload, unpack after.
-        g_pack = jnp.take_along_axis(s_pack, fic, axis=-1).astype(I32)
+        # one MXU gather of the packed payload, unpack after.
+        g_pack = mxu_gather(s_pack, fic, max_val=1 << 16)
         g_rd = g_pack // (caps.L + 2)
         g_tf = g_pack % (caps.L + 2)
     else:
-        g_rd = jnp.take_along_axis(s_rd, fic, axis=-1).astype(I32)
-        g_tf = jnp.take_along_axis(s_tf, fic, axis=-1).astype(I32)
+        g_rd = mxu_gather(
+            s_rd.astype(I32) & 0xFFFF, fic, max_val=1 << 16
+        )
+        g_tf = mxu_gather(
+            s_tf.astype(I32) & 0xFFFF, fic, max_val=1 << 16
+        )
     died_read = jnp.where(kmatch, g_rd, BIG).reshape(B, caps.L + 2, DQ)
     died_t = jnp.where(kmatch, g_tf, 0).reshape(B, caps.L + 2, DQ)
     if _upto == 5:
@@ -880,32 +894,52 @@ def build_tries(fc, Lr, caps: Caps):
     lanes = [lane(i) for i in range(0, SM, 4)]
     tkey = jnp.where(fc["valid"], fc["t"], BIGT)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    # Per-chain fields RIDE THE SORT as two packed u32 payloads instead
+    # of being fetched with seven post-sort elementwise gathers (each
+    # [B, N] gather costs ~8 ms on this part vs ~0.1 ms per extra
+    # narrow sort operand):
+    #   pay1 = valid(1) @30 | p(15) @15 | len(5) @10 | read(10)
+    #   pay2 = phase(2) @2*SB | seq(SB) @SB | pos(SB), SB = index bits
+    # (production caps enforce R*CH <= 2^14 — devpipe.ch_hard — so
+    # SB is 14 there; SB = 15 covers the widest test caps.)
+    SB = max(14, (N - 1).bit_length())
+    assert caps.SM <= 31 and caps.R <= (1 << 10) and 2 * SB + 2 <= 32
+    SMASK = (1 << SB) - 1
+    pay1 = (
+        (fc["valid"].astype(I32) << 30)
+        | (fc["p"] << 15)
+        | (fc["len"] << 10)
+        | fc["read"]
+    )
+    pay2 = (
+        (fc["phase"].astype(jnp.uint32) << (2 * SB))
+        | (fc["seq"].astype(jnp.uint32) << SB)
+        | idx.astype(jnp.uint32)
+    )
     sorted_ops = jax.lax.sort(
-        tuple([tkey] + [ln.astype(jnp.uint32) for ln in lanes] + [idx]),
+        tuple([tkey] + [ln.astype(jnp.uint32) for ln in lanes]
+              + [pay1, pay2]),
         dimension=-1, num_keys=1 + len(lanes),
     )
-    st, sidx = sorted_ops[0], sorted_ops[-1]
+    st, p1s, p2s = sorted_ops[0], sorted_ops[-2], sorted_ops[-1]
+    sidx = (p2s & SMASK).astype(I32)
 
-    def g(a):
-        return jnp.take_along_axis(a, sidx, axis=-1)
-
-    def g2(a):  # [B, SM, N] depth-major
+    def g2(a):  # [B, SM, N] depth-major, shared-index broadcast gather
         return jnp.take_along_axis(a, sidx[:, None, :], axis=2)
 
     s_ba = g2(ba_dm)  # sorted chains, [B, SM, N]
     s = {
         "t": st,
-        "valid": g(fc["valid"]),
-        "p": g(fc["p"]),
-        "len": g(fc["len"]),
-        "read": g(fc["read"]),
-        "phase": g(fc["phase"]),
-        "seq": g(fc["seq"]),
+        "valid": (p1s >> 30) & 1 > 0,
+        "p": (p1s >> 15) & 0x7FFF,
+        "len": (p1s >> 10) & 0x1F,
+        "read": p1s & 0x3FF,
+        "phase": ((p2s >> (2 * SB)) & 3).astype(I32),
+        "seq": ((p2s >> SB) & SMASK).astype(I32),
         "rev_ba": s_ba,
         # node-major flats (i * SM + d indexing) for the node-grid
         # consumers in linearize/assemble; one dense copy each.
         "rb_nm": (s_ba & 0xFF).transpose(0, 2, 1).reshape(B, N * SM),
-        "ra_nm": (s_ba >> 8).transpose(0, 2, 1).reshape(B, N * SM),
     }
 
     # lcp with previous chain (same t, shared reversed prefix, both
@@ -1126,17 +1160,21 @@ def linearize_and_band(
         nw, csurv, nbase = rest[0], rest[1], rest[2]
     jc = jnp.clip(csurv, 0, N - 1)
     # len(5b @25) | p(15b @10) | read(10b): p <= L+1 <= 16385 needs 15
-    # bits at the top L rung; read < R <= 512.
+    # bits at the top L rung; read < R <= 512. MXU one-hot gather
+    # replaces the elementwise table fetch (~5x at this shape).
     sv_pack = (s["len"] << 25) | (s["p"] << 10) | s["read"]
-    svw = jnp.take_along_axis(sv_pack, jc, axis=-1)
+    svw = mxu_gather(sv_pack, jc, max_val=1 << 30)
     nsvlen = svw >> 25
     nsvp = (svw >> 10) & ((1 << 15) - 1)
     nsvrd = svw & ((1 << 10) - 1)
-    nanch = jnp.take_along_axis(
-        s["ra_nm"],
-        jnp.clip(jc * SM + (nd_ - 1), 0, N * SM - 1),
-        axis=-1,
-    )
+    # anchor at (survivor chain, depth d-1): ONE shared-index broadcast
+    # gather over the depth-major planes (the vectorized gather path)
+    # + an SM-way lane select, instead of an elementwise N*SM fetch.
+    ra_dm = s["rev_ba"] >> 8  # [B, SM, N]
+    ga = jnp.take_along_axis(ra_dm, jc[:, None, :], axis=2)  # [B,SM,ND]
+    nanch = jnp.zeros_like(nd_)
+    for d0 in range(1, SM + 1):
+        nanch = jnp.where(nd_ == d0, ga[:, d0 - 1, :], nanch)
 
     if _upto == 2:
         return {"nnid": nnid, "npar": npar, "nw": nw, "nbase": nbase,
@@ -1150,8 +1188,9 @@ def linearize_and_band(
     slin = mxu_scatter(nnid, nvalid_t, (rank + nt - 1,), ND)[0]
 
     def lin_of_nid(q):  # q [B, X] -> lin (invalid nids read 0)
-        qc = jnp.clip(q, 0, ND - 1)
-        return jnp.take_along_axis(slin, qc, axis=-1)
+        return mxu_gather(
+            slin, jnp.clip(q, 0, ND - 1), max_val=1 << 16
+        )
 
     # backbone linear index: p - 1 + (#nodes with t <= p) — an MXU
     # histogram of node t values + inclusive cumsum.
@@ -1182,10 +1221,12 @@ def linearize_and_band(
         return {"lin_bb_full": lin_bb_full, "pre_rank": pre_rank,
                 "n_total": n_total}
     # parent lin per node: depth 1 -> backbone t (or exit), else via nid.
+    # (+1 offset keeps the gathered table non-negative for the MXU
+    # byte-split; lin_bb_full[0] is -1.)
     is_exit_parent = (nd_ == 1) & (nt == Lr[:, None] + 1)
-    par_bb = jnp.take_along_axis(
-        lin_bb_full, jnp.clip(nt, 0, L + 1), axis=-1
-    )
+    par_bb = mxu_gather(
+        lin_bb_full + 1, jnp.clip(nt, 0, L + 1), max_val=1 << 16
+    ) - 1
     par_lin = jnp.where(
         nd_ == 1, par_bb, lin_of_nid(jnp.clip(npar, 0, ND - 1))
     )
@@ -1275,15 +1316,15 @@ def linearize_and_band(
     # w2: uncertain-t(1b @29) | pre_rank(14b @15) | spare(15b); the
     # per-node strip_t flag is gathered once in table space ([B, ND])
     # and rides the packed word instead of a second [B, N] gather.
-    unc_node = jnp.take_along_axis(
-        absb["strip_t"], jnp.clip(nt, 0, L + 1), axis=-1
+    unc_node = mxu_gather(
+        absb["strip_t"].astype(I32), jnp.clip(nt, 0, L + 1), max_val=2
     )
     w2 = (unc_node.astype(I32) << 29) | (pre_rank << 15)
     w1_lin, w2_lin = mxu_scatter(
         lin_trie, nvalid_t, (w1, w2), V, max_payload=1 << 30,
     )
-    g1 = jnp.take_along_axis(w1_lin, sn_clip, axis=-1)
-    g2w = jnp.take_along_axis(w2_lin, sn_clip, axis=-1)
+    g1 = mxu_gather(w1_lin, sn_clip, max_val=1 << 26)
+    g2w = mxu_gather(w2_lin, sn_clip, max_val=1 << 30)
     nd_first_deep = g1 >> 25
     nd_first_p = (g1 >> 10) & ((1 << 15) - 1)
     nd_first_rd = g1 & ((1 << 10) - 1)
@@ -1372,16 +1413,20 @@ def assemble_band(
 
     # trie-node base: the depth-(d-1) reversed base of the node's
     # run-start chain (equal across the run by construction).
-    s_rb = linz["s"]["rb_nm"]  # [B, N*SM]
-    node_base_tbl = jnp.take_along_axis(
-        s_rb,
-        jnp.clip(
-            node["rs"] * caps.SM + (node["d"] - 1), 0, s_rb.shape[1] - 1
-        ),
-        axis=-1,
-    )  # [B, ND]
-    cov_anchor_nd = jnp.take_along_axis(
-        cov, jnp.clip(node["anchor"], 0, L + 1), axis=-1
+    # trie-node base at (run-start chain, depth-1): shared-index
+    # broadcast gather over the depth-major planes + SM-way select.
+    rb_dm = linz["s"]["rev_ba"] & 0xFF  # [B, SM, N]
+    gb = jnp.take_along_axis(
+        rb_dm, jnp.clip(node["rs"], 0, rb_dm.shape[2] - 1)[:, None, :],
+        axis=2,
+    )  # [B, SM, ND]
+    node_base_tbl = jnp.zeros_like(node["d"])
+    for d0 in range(1, caps.SM + 1):
+        node_base_tbl = jnp.where(
+            node["d"] == d0, gb[:, d0 - 1, :], node_base_tbl
+        )
+    cov_anchor_nd = mxu_gather(
+        cov, jnp.clip(node["anchor"], 0, L + 1), max_val=1 << 15
     )  # [B, ND]
 
     def pk(x, hi):  # defensive clamp before packing (pad rows only)
@@ -1527,6 +1572,21 @@ def assemble_band(
             cnt.astype(jnp.float32) - 0.5 * cq.astype(jnp.float32),
         )
 
+    def tbl_shift(a, dq):  # a[:, min(p + dq, L + 1)] via pure slices
+        return jnp.concatenate(
+            [a[:, dq:], jnp.repeat(a[:, L + 1 :], dq, axis=1)], axis=-1
+        )
+
+    def bb_esc_dq(cnt, dq):
+        """bb_esc at the shifted grid q = p + dq: pure slices, no
+        gather (the grid is regular)."""
+        uns = tbl_shift(w_bb_full, dq) == 1
+        cq = tbl_shift(cov, dq)
+        return jnp.where(
+            uns, jnp.float32(-10.0),
+            cnt.astype(jnp.float32) - 0.5 * cq.astype(jnp.float32),
+        )
+
     # The per-dq (count, key) fields all gather at the SAME index pic,
     # so pack them into one i32 per (p, dq) in p-space — one v-space
     # gather per dq instead of four. Within this loop keys only take
@@ -1582,9 +1642,7 @@ def assemble_band(
             win, wkey, flags, ok & (span <= W), span, c12, key,
         )
         # long candidates in (p, dq) space (smaller than per-v).
-        qlin_p = jnp.take_along_axis(
-            lin_bb_full, jnp.clip(pgrid + dq, 0, L + 1), axis=-1
-        )
+        qlin_p = lin_shift(dq)  # lin at min(p + dq, L + 1), pure slices
         c1p = trans["count_pq"][..., dq - 1]
         c2p = absb["died_cnt_pq"][..., dq - 1]
         okp = (
@@ -1604,7 +1662,7 @@ def assemble_band(
         lk_cnt.append(jnp.where(okp, c1p + c2p, 0))
         lk_key.append(jnp.where(c1p > 0, k1p, k2p))
         lk_long.append(okp & ((qlin_p - lin_bb_full) > W))
-        lk_esc.append(bb_esc(c1p + c2p, pgrid + dq))
+        lk_esc.append(bb_esc_dq(c1p + c2p, dq))
 
     if _upto == 4:
         return {"win": win, "wkey": wkey, "flags": flags}
@@ -1633,9 +1691,9 @@ def assemble_band(
     # trie, far from their start anchor).
     se = linz["start_edges"]
     N = se["p"].shape[1]
-    se_ulin = jnp.take_along_axis(
-        lin_bb_full, jnp.clip(se["p"], 0, L + 1), axis=-1
-    )
+    se_ulin = mxu_gather(
+        lin_bb_full + 1, jnp.clip(se["p"], 0, L + 1), max_val=1 << 16
+    ) - 1
     se_ulin = jnp.where(se["p"] == 0, -1, se_ulin)  # enter rows
     se_span = se["node_lin"] - se_ulin
     se_islong = se["uniq"] & (se["p"] >= 1) & (se_span > W)
@@ -1647,15 +1705,12 @@ def assemble_band(
         jnp.array(0xFFFF if su16 else (1 << 21), udt),
     )
     upos = jnp.broadcast_to(jnp.arange(N, dtype=udt), (B, N))
-    su_key, su_pos = jax.lax.sort((ukey, upos), dimension=-1, num_keys=2)
-    su_pos = su_pos.astype(I32)
-
-    def se_field(a):
-        return jnp.take_along_axis(a, su_pos, axis=-1)
-
-    su_n = se_field(se["node_lin"])
-    su_c = se_field(se["count"])
-    su_k = se_field(se["key"])
+    # fields ride the sort as payload operands (narrow sorts are cheap;
+    # each post-sort elementwise gather they replace costs ~8 ms).
+    su_key, _su_pos, su_n, su_c, su_k = jax.lax.sort(
+        (ukey, upos, se["node_lin"], se["count"], se["key"]),
+        dimension=-1, num_keys=2,
+    )
     # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
     # the per-slot v-space loop gathers 2 arrays instead of 3.
     su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
@@ -1722,8 +1777,9 @@ def assemble_band(
     )[0]
     se_anch = jnp.where(
         se_islong,
-        jnp.take_along_axis(
-            anch_lin, jnp.clip(se["node_lin"], 0, V - 1), axis=-1
+        mxu_gather(
+            anch_lin, jnp.clip(se["node_lin"], 0, V - 1),
+            max_val=1 << 15,
         ),
         0,
     )

@@ -90,11 +90,19 @@ def _matmul_acc(a, bm):
 def mxu_hist(values, valid, D, *, chunk: int = 4096):
     """Counts per value over domain [0, D): [B, N] -> [B, D] i32.
 
-    Exact: one-hot products are exactly 0/1 in bf16 and the f32
-    accumulator is exact below 2^24 (row widths here are <= 2^17)."""
+    Strategy is picked from the measured crossover on TPU v5e: a fused
+    compare-and-reduce (VPU) wins for small domains (~4 ms at
+    N=41k/D=1026 vs ~10 ms for the matmul), the factorized one-hot
+    matmul (MXU) wins for large domains (~2 ms at N=6k/D=8208 vs ~5 ms
+    compare-reduce). Both are exact: integer sums below 2^24."""
     B, N = values.shape
-    dh = -(-D // _LANES)
     v = jnp.where(valid, values.astype(I32), jnp.int32(-1))
+    if D <= 2048:
+        return jnp.sum(
+            v[:, :, None] == jnp.arange(D, dtype=I32)[None, None, :],
+            axis=1, dtype=I32,
+        )
+    dh = -(-D // _LANES)
     vc = _pad_chunks(v, chunk, -1)
     nc = vc.shape[1]
 
@@ -112,6 +120,53 @@ def mxu_hist(values, valid, D, *, chunk: int = 4096):
             jnp.moveaxis(vc, 1, 0),
         )
     return acc.reshape(B, dh * _LANES)[:, :D].astype(I32)
+
+
+def mxu_gather(tbl, idx, *, max_val: int, valid=None):
+    """Sort-free, loop-free gather out[b, n] = tbl[b, idx[b, n]] as a
+    factorized one-hot matmul — ~5x the TPU's per-index hardware gather
+    rate at these shapes (measured 1.55 ms vs 8.0 ms for
+    [128, 6144] <- [128, 6144] tables).
+
+    out = sum_h 1[idx div 128 == h] * (B2 @ plane_h^T) with
+    B2[n, l] = 1[idx mod 128 == l] and the table byte-split so every
+    bf16 factor is an exact small integer; each output cell receives
+    exactly one nonzero term, so the f32 result is exact.
+
+    tbl: [B, T] integer in [0, max_val); idx: [B, N]. Out-of-range /
+    invalid indices read 0. Use only for T <= ~16k (cost scales with
+    T); wider tables should keep the hardware gather."""
+    B, T = tbl.shape
+    dh = -(-T // _LANES)
+    pad = dh * _LANES - T
+    tp = tbl.astype(I32)
+    if pad:
+        tp = jnp.concatenate(
+            [tp, jnp.zeros((B, pad), I32)], axis=-1
+        )
+    tr = tp.reshape(B, dh, _LANES)
+    ic = jnp.clip(idx.astype(I32), 0, dh * _LANES - 1)
+    if valid is not None:
+        ic = jnp.where(valid, ic, jnp.int32(-1))
+    ih = ic // _LANES
+    a = (
+        ih[..., None] == jnp.arange(dh, dtype=I32)
+    )  # [B, N, dh] bool (kept bool: used as a select mask)
+    b2 = (
+        (ic % _LANES)[..., None] == jnp.arange(_LANES, dtype=I32)
+    ).astype(BF16)
+    nbytes = max(1, -(-max(1, (max_val - 1)).bit_length() // 8))
+    out = jnp.zeros(idx.shape, I32)
+    for by in range(nbytes):
+        plane = ((tr >> (8 * by)) & 0xFF).astype(BF16)
+        p = jax.lax.dot_general(
+            b2, plane,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [B, N, dh]
+        sel = jnp.sum(jnp.where(a, p, 0.0), axis=-1).astype(I32)
+        out = out | (sel << (8 * by))
+    return out
 
 
 def hist_lohi(values, valid, D, *, chunk: int = 4096):

@@ -91,3 +91,23 @@ def test_scatter_ranks_beyond_domain_dropped():
     valid = jnp.asarray([[True, True, True, True]])
     (o,) = mxu.mxu_scatter(ranks, valid, (jnp.asarray([[7, 8, 9, 10]]),), 4)
     assert np.asarray(o).tolist() == [[7, 8, 10, 0]]
+
+
+@pytest.mark.parametrize("T,N,maxv", [(300, 700, 1 << 8), (1026, 4096, 1 << 16),
+                                      (513, 200, 1 << 24), (6144, 300, 1 << 30)])
+def test_gather_exact(T, N, maxv):
+    rng = np.random.default_rng(T + N)
+    B = 3
+    tbl = rng.integers(0, maxv, (B, T))
+    idx = rng.integers(0, T, (B, N))
+    out = np.asarray(mxu.mxu_gather(
+        jnp.asarray(tbl), jnp.asarray(idx), max_val=maxv))
+    assert (out == np.take_along_axis(tbl, idx, axis=-1)).all()
+
+
+def test_gather_invalid_reads_zero():
+    tbl = jnp.asarray([[5, 6, 7, 8]])
+    idx = jnp.asarray([[2, 0, 3]])
+    valid = jnp.asarray([[True, False, True]])
+    out = np.asarray(mxu.mxu_gather(tbl, idx, max_val=16, valid=valid))
+    assert out.tolist() == [[7, 0, 8]]
