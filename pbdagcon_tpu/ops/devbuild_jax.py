@@ -1051,113 +1051,122 @@ def linearize_and_band(
     # through ONE postordered index (gidx) instead of gsrc-then-greo
     # chains — elementwise gathers are the dominant cost on this
     # backend (~0.1 Gelem/s), so every avoided gather counts.
-    nn = tri["node_new"]  # [B, N, SM]
-    node_re = tri["run_end"]
-    node_nid = tri["nid"]
-    node_w = tri["weight"]
-    surv_pos = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
-    node_base_nm = s["rb_nm"]  # [B, N*SM]: base at flat (i, d-1)
-
-    def fl(a):
-        return a.reshape(B, N * SM)
-
-    NF = N * SM
-    # Compact the sparse node grid (density ~4%) to ND rows FIRST with a
-    # single 2-operand sort; all per-node field gathers then run on the
-    # small table (the full-width gathers dominated the build before).
-    nn_flat = fl(nn)
-    if NF < (1 << 16):  # u16 co-sort: halves this NF-wide sort's traffic
-        ckey = jnp.where(nn_flat, jnp.uint16(0), jnp.uint16(1))
-        cpos = jnp.broadcast_to(
-            jnp.arange(NF, dtype=jnp.uint16), (B, NF)
-        )
-    else:
-        ckey = jnp.where(nn_flat, jnp.int32(0), jnp.int32(1))
-        cpos = jnp.broadcast_to(jnp.arange(NF, dtype=I32), (B, NF))
-    ck_s, cp_s = jax.lax.sort((ckey, cpos), dimension=-1, num_keys=2)
-    n_nodes = jnp.sum(nn_flat, axis=-1, dtype=I32)
-    comp_idx = cp_s[:, :ND].astype(I32)  # flat grid index, compact rows
-    comp_valid = ck_s[:, :ND] == 0
+    # ---- direct rank-space compaction (no NF-wide sort, no gathers) --
+    # A node's creation id EQUALS its compact row: nid(i, d) =
+    # base_id[i] - lcp[i] + d - 1, and chain i's new nodes occupy the
+    # consecutive ranks [base_id[i], base_id[i] + n_new[i]). So the
+    # compact table is addressed arithmetically: scatter each creating
+    # chain's (i, zval) to rank base_id[i] (unique-rank MXU scatter),
+    # forward-fill, and decode i_r / d_r = rank - zval + 1 per row.
+    # All per-(chain, depth) fields then arrive via ONE shared-index
+    # broadcast gather over depth-major planes + an SM-way lane select
+    # — replacing the old NF-wide compact sort plus four elementwise
+    # [B, ND] gathers (~8 ms each on this part).
+    lcp = tri["lcp"]
+    n_new = jnp.where(s["valid"], s["len"] - lcp, 0)
+    base_id = jnp.cumsum(n_new, axis=-1, dtype=I32) - n_new
+    zval_c = base_id - lcp  # >= 0: the previous chain created >= lcp
+    n_nodes = tri["n_nodes"]
     over_nd = n_nodes > ND
+    i_arange = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    assert ND <= (1 << 14) and N <= (1 << 15)
+    st_tbl = mxu_scatter(
+        base_id, n_new > 0,
+        (((i_arange << 14) | zval_c) + 1,), ND,
+        max_payload=1 << 30,
+    )[0]
+    filled = _seg_hold_fwd(st_tbl, st_tbl > 0) - 1
+    i_r = jnp.clip(filled >> 14, 0, N - 1)
+    zval_r = filled & 0x3FFF
+    rankg = jnp.broadcast_to(jnp.arange(ND, dtype=I32), (B, ND))
+    comp_valid = rankg < n_nodes[:, None]
+    cd = jnp.clip(rankg - zval_r + 1, 1, SM)
 
     if _upto == 1:
-        return {"comp_idx": comp_idx, "comp_valid": comp_valid}
-    ct = jnp.where(
-        comp_valid,
-        jnp.take_along_axis(s["t"], comp_idx // SM, axis=-1),
-        BIGT,
-    )
-    cd = comp_idx % SM + 1
+        return {"i_r": i_r, "cd": cd, "comp_valid": comp_valid}
 
-    # Node-grid fields pack into two words per flat slot BEFORE the
-    # compact gather, and ride the postorder sort as payloads — two or
-    # three elementwise gathers + payload traffic instead of seven
-    # gathers (gathers run at ~0.1 Gelem/s on this part, the dominant
-    # cost). When the ids outgrow the packed widths (large NC*SM or R
-    # rungs) the fields ride as raw payload operands instead.
-    #   G1 (u32) = nid(16) << 16 | prev_nid(16)   [prev flat slot]
-    #   G2 (i32) = weight(10) << 21 | survivor_pos(14) << 7 | base(7)
-    nid_f = fl(node_nid)
-    prev_nid_f = jnp.concatenate(
-        [jnp.zeros((B, 1), I32), nid_f[:, :-1]], axis=-1
-    )
-    cre = jnp.take_along_axis(fl(node_re), comp_idx, axis=-1)
-
-    def comp(a):
-        return jnp.take_along_axis(a, comp_idx, axis=-1)
-
-    pack_nid = NF < (1 << 16)
-    if pack_nid:
-        nid_ops = (
-            comp(
-                (jnp.clip(nid_f, 0, 0xFFFF).astype(jnp.uint32) << 16)
-                | jnp.clip(prev_nid_f, 0, 0xFFFF).astype(jnp.uint32)
-            ),
-        )
-    else:
-        nid_ops = (comp(nid_f), comp(prev_nid_f))
+    surv_pos = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
+    re_dm = jnp.moveaxis(tri["run_end"], 2, 1)  # [B, SM, N]
+    w_dm = jnp.moveaxis(tri["weight"], 2, 1)
+    sv_dm = jnp.moveaxis(surv_pos, 2, 1)
+    nid_dm = jnp.moveaxis(tri["nid"], 2, 1)
+    rb_dm = s["rev_ba"] & 0xFF  # [B, SM, N]: depth-(d-1) base slot d-1
     pack_fld = N <= (1 << 14) and caps.R < (1 << 10)
     if pack_fld:
-        fld_ops = (
-            comp(
-                (jnp.clip(fl(node_w), 0, 0x3FF) << 21)
-                | (jnp.clip(fl(surv_pos), 0, 0x3FFF) << 7)
-                | (node_base_nm.astype(I32) & 0x7F)
-            ),
+        # Ga = re(15) @17 | w(10) @7 | base(7); Gb = nid(14) @14 | sv(14)
+        ga = (
+            (re_dm.astype(jnp.uint32) << 17)
+            | (jnp.clip(w_dm, 0, 0x3FF).astype(jnp.uint32) << 7)
+            | (rb_dm & 0x7F).astype(jnp.uint32)
+        )
+        gb = (
+            (nid_dm.astype(jnp.uint32) << 14)
+            | sv_dm.astype(jnp.uint32)
+        )
+        planes = jnp.concatenate(
+            [ga, gb, s["t"].astype(jnp.uint32)[:, None, :]], axis=1
         )
     else:
-        fld_ops = (
-            comp(fl(node_w)), comp(fl(surv_pos)), comp(node_base_nm)
-        )
+        planes = jnp.concatenate(
+            [re_dm, w_dm, sv_dm, nid_dm, rb_dm.astype(I32),
+             s["t"][:, None, :]], axis=1
+        ).astype(jnp.uint32)
+    gath = jnp.take_along_axis(
+        planes, i_r[:, None, :], axis=2
+    )  # [B, P, ND] — shared-index broadcast gather (vectorized path)
+
+    def dsel(off):
+        """Select plane (off + cd - 1) per row: SM-way lane select."""
+        out = gath[:, off, :]
+        for d0 in range(2, SM + 1):
+            out = jnp.where(cd == d0, gath[:, off + d0 - 1, :], out)
+        return out
+
+    if pack_fld:
+        ga_sel = dsel(0)
+        gb_prev = dsel(SM - 1)  # plane (cd - 2): depth d-1 (d >= 2)
+        t_sel = gath[:, 2 * SM, :].astype(I32)
+        cre = (ga_sel >> 17).astype(I32)
+        cw = ((ga_sel >> 7) & 0x3FF).astype(I32)
+        cbase = (ga_sel & 0x7F).astype(I32)
+        csv = dsel(SM).astype(I32) & 0x3FFF
+        cprev = (gb_prev >> 14).astype(I32) & 0x3FFF
+    else:
+        cre = dsel(0).astype(I32)
+        cw = dsel(SM).astype(I32)
+        csv = dsel(2 * SM).astype(I32)
+        cprev = dsel(3 * SM - 1).astype(I32)  # nid at depth cd-1
+        cbase = dsel(4 * SM).astype(I32) & 0x7F
+        t_sel = gath[:, 5 * SM, :].astype(I32)
+
+    ct = jnp.where(comp_valid, t_sel, BIGT)
 
     # postorder sort of the COMPACT table: (t, run_end, depth desc);
-    # field words and comp_idx ride as payloads (no post-sort gathers).
+    # fields ride as three packed payloads (narrow sorts are cheap).
+    #   P1 = i(15) @14 | rank(14); P2 = prev(14) @17 | w(10) @7 |
+    #   base(7); P3 = survivor_pos(14)
     sorted_ = jax.lax.sort(
-        (ct, cre, SM - cd, comp_idx) + nid_ops + fld_ops,
+        (
+            ct, cre, SM - cd,
+            (i_r << 14) | rankg,
+            (jnp.clip(cprev, 0, 0x3FFF) << 17)
+            | (jnp.clip(cw, 0, 0x3FF) << 7) | cbase,
+            csv,
+        ),
         dimension=-1, num_keys=3,
     )
-    st_t, nre, smcd, gidx = sorted_[:4]
+    st_t, nre, smcd, p1s, p2s, p3s = sorted_
     nvalid_t = st_t < BIGT
     nt = st_t
     nd_ = SM - smcd
-    nrs = gidx // SM  # run start (sorted chain index)
-    if pack_nid:
-        g1_s = sorted_[4]
-        nnid = (g1_s >> 16).astype(I32)
-        prev_s = (g1_s & 0xFFFF).astype(I32)
-        rest = sorted_[5:]
-    else:
-        nnid, prev_s = sorted_[4], sorted_[5]
-        rest = sorted_[6:]
-    # parent nid (d >= 2) sits one flat slot left of the node.
+    nrs = p1s >> 14  # creating chain (sorted-chain index)
+    nnid = p1s & 0x3FFF  # nid == compact rank by construction
+    prev_s = p2s >> 17
+    nw = (p2s >> 7) & 0x3FF
+    nbase = p2s & 0x7F
+    csurv = p3s
+    # parent nid (d >= 2): the depth-(d-1) node of the same chain run.
     npar = jnp.where(nd_ == 1, jnp.int32(-1), prev_s)
-    if pack_fld:
-        g2_s = rest[0]
-        nw = g2_s >> 21
-        nbase = g2_s & 0x7F
-        csurv = (g2_s >> 7) & 0x3FFF
-    else:
-        nw, csurv, nbase = rest[0], rest[1], rest[2]
     jc = jnp.clip(csurv, 0, N - 1)
     # len(5b @25) | p(15b @10) | read(10b): p <= L+1 <= 16385 needs 15
     # bits at the top L rung; read < R <= 512. MXU one-hot gather
