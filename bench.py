@@ -577,6 +577,16 @@ def main() -> int:
                 ),
                 "hybrid_dev_chunks": hybrid_dev_chunks,
                 "hybrid_targets": hy_targets,
+                # never-worse guard (VERDICT r3 #7): hybrid must stay
+                # within 10% of the host-only engine on the SAME
+                # stream; a False here is a CI-red regression signal.
+                "hybrid_vs_host_ratio": round(
+                    hybrid_rate / hybrid_host_engine_rate, 3
+                ) if hybrid_host_engine_rate > 0 else None,
+                "hybrid_guard_ok": bool(
+                    hybrid_host_engine_rate <= 0
+                    or hybrid_rate >= 0.9 * hybrid_host_engine_rate
+                ),
                 "host_allthreads_bases_per_s": round(host_mt_rate, 1),
                 "host_allthreads_vs_baseline": round(
                     host_mt_rate / base_rate, 3

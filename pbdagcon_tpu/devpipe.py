@@ -17,6 +17,7 @@ SURVEY.md §3.1 — reconstructed; mount empty).
 
 from __future__ import annotations
 
+import collections as _collections
 import dataclasses
 import logging
 import os
@@ -459,6 +460,31 @@ _V_STATE: dict = {}
 _NEED_RECENT: dict = {}
 
 
+def choose_window_caps(bkey, sub, prof, w_state, v_state, need_recent):
+    """Pure caps choice for one window's bucket: sticky secondary needs
+    aggregate over the bucket's recent-window deque so one workload
+    class converges to ONE compiled caps (the round-3 flip-flop bug
+    class). Extracted from submit_window so the convergence property is
+    unit-testable (tests/test_devpipe.py::test_caps_convergence_*)."""
+    Rb, Cb, Lb, _w = bkey
+    nrec = need_recent.setdefault(bkey, _collections.deque(maxlen=8))
+    nrec.append(tuple(int(sub[:, c].max()) for c in (5, 6, 3, 7, 8)))
+    ch_n, sm_n, nd_n, dq_n, se_n = (
+        max(t[k] for t in nrec) for k in range(5)
+    )
+    return caps_for(
+        _ladder(len(sub), _B_LADDER) or _B_LADDER[-1],
+        Rb, Cb, Lb, prof,
+        ch_need=ch_n,
+        sm_need=sm_n,
+        nd_need=nd_n,
+        dq_need=dq_n,
+        se_need=se_n,
+        w_need=w_state.get(bkey, 48 if Rb <= 48 else prof.W),
+        v_need=v_state.get(bkey),
+    )
+
+
 def run_devbuild_native(
     stream,
     out,
@@ -566,6 +592,12 @@ def run_devbuild_native(
         # see the note above): the emit consumes the build outputs
         # anyway, the scan carries are tiny, and one fewer dispatch
         # saves the tunnel's ~100 ms fixed cost per batch.
+        # static guard for the i16 bbpos wire cast below: positions are
+        # bounded by the 15-bit packed pic field in devbuild_jax's
+        # assemble (assert 3*R < 2^14 and L+1 < 2^15 there); widening
+        # the L ladder past 0x7FFF would silently wrap the cast.
+        assert caps.L <= 0x7FFF, "i16 bbpos wire format requires L <= 32767"
+
         @jax.jit
         def _dp_emit(build, mw):
             flags = build["flags"]
@@ -591,7 +623,9 @@ def run_devbuild_native(
                 "flags": flags,
                 "ambiguous": emit["ambiguous"],
                 "overflow": emit["overflow"],
-                "bk": emit["bases"]
+                # mask to 7 bits so a non-ASCII byte that slipped
+                # through encoding can never flip the kept bit.
+                "bk": (emit["bases"] & jnp.uint8(0x7F))
                 | (emit["kept"].astype(jnp.uint8) << 7),
                 "bbpos": emit["bbpos"].astype(jnp.int16),
                 "path_len": emit["path_len"],
@@ -769,6 +803,11 @@ def run_devbuild_native(
                 if w is SENTINEL:
                     return
 
+    def submit_window_caps(bkey, sub, prof):
+        return choose_window_caps(
+            bkey, sub, prof, w_state, v_state, _NEED_RECENT
+        )
+
     def submit_window(offset: int, count: int) -> dict:
         """Bucket + dispatch one window (targets at engine indices
         offset..offset+count-1). Indices inside the returned work are
@@ -797,26 +836,7 @@ def run_devbuild_native(
         for (Rb, Cb, Lb), idxs in buckets.items():
             sub = metas[idxs]
             bkey = (Rb, Cb, Lb, prof.W)
-            # Sticky needs: rungs from the max over the recent windows
-            # of this bucket, not this window alone (see _NEED_RECENT).
-            nrec = _NEED_RECENT.setdefault(
-                bkey, _collections.deque(maxlen=8)
-            )
-            nrec.append(tuple(int(sub[:, c].max()) for c in (5, 6, 3, 7, 8)))
-            ch_n, sm_n, nd_n, dq_n, se_n = (
-                max(t[k] for t in nrec) for k in range(5)
-            )
-            caps = caps_for(
-                _ladder(len(idxs), _B_LADDER) or _B_LADDER[-1],
-                Rb, Cb, Lb, prof,
-                ch_need=ch_n,
-                sm_need=sm_n,
-                nd_need=nd_n,
-                dq_need=dq_n,
-                se_need=se_n,
-                w_need=w_state.get(bkey, 48 if Rb <= 48 else prof.W),
-                v_need=v_state.get(bkey),
-            )
+            caps = submit_window_caps(bkey, sub, prof)
             NI = ins_cap(caps)
             fallback.extend(
                 i for i in idxs if int(metas[i, 3]) > NI

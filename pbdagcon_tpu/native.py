@@ -408,6 +408,13 @@ class NativeEngine:
             p(bb, ctypes.c_uint8), p(ins, ctypes.c_uint8),
             p(Lr, ctypes.c_int32),
         )
+        if rc < 0:
+            # C-ABI contract violation (e.g. C % 4 != 0), not a caps
+            # overflow — distinct message so callers can tell.
+            raise ValueError(
+                f"enc_fill_packed: invalid arguments (rc={rc}; C must "
+                f"be a multiple of 4)"
+            )
         if rc != 0:
             raise ValueError(f"encoded target does not fit caps (rc={rc})")
         return ops, starts, bb, ins, Lr

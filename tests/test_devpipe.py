@@ -286,3 +286,83 @@ def test_xla_native_ladder_boundary_counts():
     )
     assert buf_d.getvalue() == buf_h.getvalue()
     assert stats.targets == 19
+
+
+def test_caps_convergence_random_class_mix():
+    """Property test for the window scheduler's caps adaptation
+    (VERDICT r3 #8): over a random mix of workload classes, each
+    bucket's caps choice must converge — a bounded number of distinct
+    compiled caps per class, no flip-flop after warmup — and targets
+    that exceed the chosen NI must be excluded (flag-and-fallback),
+    never batched."""
+    import numpy as np
+
+    from pbdagcon_tpu import devpipe
+    from pbdagcon_tpu.devpipe import (
+        DevCapsConfig, _C_LADDER, _L_LADDER, _R_LADDER, _ladder,
+        choose_window_caps, ins_cap,
+    )
+
+    rng = np.random.default_rng(77)
+    classes = [
+        # (R, C, L, ch, sm, nd, dq, se) base values; jitter below.
+        (30, 1240, 1000, 64, 9, 500, 4, 13),
+        (12, 400, 300, 24, 8, 120, 3, 6),
+        (60, 2500, 2000, 150, 11, 1500, 6, 15),
+        (20, 700, 560, 40, 9, 260, 4, 9),
+    ]
+
+    def window_metas(cls, n):
+        R, C, L, ch, sm, nd, dq, se = cls
+        m = np.zeros((n, 9), dtype=np.int64)
+        m[:, 0] = R + rng.integers(-2, 3, n)
+        m[:, 1] = C + rng.integers(-40, 41, n)
+        m[:, 2] = L + rng.integers(-20, 21, n)
+        m[:, 3] = nd + rng.integers(-nd // 4, nd // 4 + 1, n)
+        m[:, 4] = m[:, 1] * m[:, 0]
+        m[:, 5] = ch + rng.integers(-6, 7, n)
+        m[:, 6] = sm + rng.integers(-1, 2, n)
+        m[:, 7] = dq + rng.integers(-1, 2, n)
+        m[:, 8] = se + rng.integers(-2, 3, n)
+        return m
+
+    w_state: dict = {}
+    v_state: dict = {}
+    need_recent: dict = {}
+    seen: dict = {}
+    prof = DevCapsConfig.heavy()
+    for step in range(60):
+        cls = classes[int(rng.integers(0, len(classes)))]
+        metas = window_metas(cls, int(rng.integers(32, 129)))
+        buckets: dict = {}
+        for i in range(len(metas)):
+            key = (
+                _ladder(int(metas[i, 0]), _R_LADDER),
+                _ladder(int(metas[i, 1]), _C_LADDER),
+                _ladder(int(metas[i, 2]), _L_LADDER),
+            )
+            assert None not in key
+            buckets.setdefault(key, []).append(i)
+        for (Rb, Cb, Lb), idxs in buckets.items():
+            sub = metas[idxs]
+            bkey = (Rb, Cb, Lb, prof.W)
+            caps = choose_window_caps(
+                bkey, sub, prof, w_state, v_state, need_recent
+            )
+            NI = ins_cap(caps)
+            batched = [i for i in idxs if int(metas[i, 3]) <= NI]
+            # (c) the NI filter is exact: everything batched fits.
+            for i in batched:
+                assert int(metas[i, 3]) <= NI
+            key_caps = (caps.R, caps.C, caps.L, caps.CH, caps.SM,
+                        caps.ND, caps.SE, caps.DQ, caps.V, caps.W)
+            seen.setdefault(bkey, []).append((step, key_caps))
+    for bkey, hist in seen.items():
+        distinct = {c for _s, c in hist}
+        # (a) bounded distinct compiled programs per class.
+        assert len(distinct) <= 3, (bkey, distinct)
+        tail = [c for s, c in hist if s >= 30]
+        if len(tail) >= 3:
+            # (b) no flip-flop: the tail of the stream settles on ONE
+            # caps tuple per bucket.
+            assert len(set(tail)) == 1, (bkey, set(tail))

@@ -410,3 +410,55 @@ def test_hybrid_host_hedges_stalled_device(monkeypatch):
     assert stats.consensus_bases == sum(
         len(l) for l in expect.splitlines() if not l.startswith(">")
     )
+
+
+def test_hybrid_fast_device_takes_stream_and_beats_host(monkeypatch):
+    """The 'real TPU host' claim, pinned by its simulation (VERDICT r3
+    #7): with the device 10x faster per byte, the scheduler must (a)
+    hand the device the clear majority of chunks and (b) finish the
+    stream well under the host-only wall time — i.e. aggregate
+    throughput approaches the device rate instead of being dragged to
+    the host's."""
+    import time as _time
+
+    text = _workload(n_targets=96, length=60, cov=3, seed=23)
+    host_spb = 8e-6
+    t0 = _time.time()
+    fasta, stats = _run_stub_hybrid(
+        monkeypatch, text, host_spb, host_spb / 10.0
+    )
+    wall = _time.time() - t0
+    host_only_wall = host_spb * len(text.encode())
+    total = stats.hybrid_dev_chunks + stats.hybrid_host_chunks
+    share = stats.hybrid_dev_chunks / total
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert fasta == expect
+    assert share >= 0.5, f"fast device only took {share:.2f} of chunks"
+    # Host-only would take ~host_spb * bytes of pure processing; the
+    # hybrid with a 10x device must land clearly below that even with
+    # scheduling overhead (loose 0.75 bound: the invariant is 'never
+    # dragged to host-only', not an exact rate).
+    assert wall <= 0.75 * host_only_wall + 0.25, (
+        f"hybrid wall {wall:.2f}s vs host-only ~{host_only_wall:.2f}s"
+    )
+
+
+def test_hybrid_never_worse_guard_stub(monkeypatch):
+    """Floor under hybrid (VERDICT r3 #7): at EQUAL stub rates the
+    aggregate must not regress materially below host-only — the
+    profitability gate + hedging may only cost bounded overhead."""
+    import time as _time
+
+    text = _workload(n_targets=96, length=60, cov=3, seed=24)
+    host_spb = 8e-6
+    t0 = _time.time()
+    fasta, stats = _run_stub_hybrid(monkeypatch, text, host_spb, host_spb)
+    wall = _time.time() - t0
+    host_only_wall = host_spb * len(text.encode())
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert fasta == expect
+    # two equal workers should be FASTER than one; never >10% slower
+    # (plus a fixed 0.3s slack for thread spin-up on loaded CI boxes).
+    assert wall <= 1.1 * host_only_wall + 0.3, (
+        f"hybrid wall {wall:.2f}s vs host-only ~{host_only_wall:.2f}s"
+    )
