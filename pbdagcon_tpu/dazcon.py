@@ -37,11 +37,24 @@ from pbdagcon_tpu.ops.linearize import (
 
 
 def select_hits(
-    records: Iterable[M4Record], max_hits: int = 85
+    records: Iterable[M4Record], max_hits: int = 85,
+    policy: str = "score",
 ) -> dict[str, list[M4Record]]:
     """Per-target hit selection (dazcon `TargetHit` semantics,
-    SURVEY.md §2 C7): group by target, order by ascending blasr score
-    (lower = better; ties keep input order), cap at `max_hits`."""
+    SURVEY.md §2 C7): group by target, order, cap at `max_hits`.
+
+    The reference's exact ordering is a reconstruction (mount empty);
+    `policy` exposes the plausible variants so their consensus impact
+    is measurable (docs/HIT_SELECTION_SENSITIVITY.md):
+      score   — ascending blasr score (lower = better; ties keep input
+                order). The reconstructed default.
+      length  — longest aligned target span first.
+      input   — input order, capped (no sort).
+      span    — greedy per-position coverage cap: a hit is kept only if
+                some position of its target span is still below
+                max_hits-equivalent coverage (approximated on eighths
+                of the target).
+    """
     per_target: dict[str, list[tuple[int, int, M4Record]]] = {}
     for i, r in enumerate(records):
         if r.qname == r.tname:
@@ -49,8 +62,31 @@ def select_hits(
         per_target.setdefault(r.tname, []).append((r.score, i, r))
     out: dict[str, list[M4Record]] = {}
     for tname, hits in per_target.items():
-        hits.sort(key=lambda t: (t[0], t[1]))
-        out[tname] = [r for _s, _i, r in hits[:max_hits]]
+        if policy == "score":
+            hits.sort(key=lambda t: (t[0], t[1]))
+            out[tname] = [r for _s, _i, r in hits[:max_hits]]
+        elif policy == "length":
+            hits.sort(key=lambda t: (-(t[2].tend - t[2].tstart), t[1]))
+            out[tname] = [r for _s, _i, r in hits[:max_hits]]
+        elif policy == "input":
+            out[tname] = [r for _s, _i, r in hits[:max_hits]]
+        elif policy == "span":
+            hits.sort(key=lambda t: (t[0], t[1]))
+            tlen = max(1, hits[0][2].tlen)
+            nbin = 8
+            covb = [0] * nbin
+            cap = max(1, max_hits)
+            kept = []
+            for _s, _i, r in hits:
+                b0 = min(nbin - 1, r.tstart * nbin // tlen)
+                b1 = min(nbin - 1, max(r.tstart, r.tend - 1) * nbin // tlen)
+                if any(covb[b] < cap for b in range(b0, b1 + 1)):
+                    kept.append(r)
+                    for b in range(b0, b1 + 1):
+                        covb[b] += 1
+            out[tname] = kept
+        else:
+            raise ValueError(f"unknown hit policy {policy!r}")
     return out
 
 
@@ -90,6 +126,7 @@ def run_dazcon(
     max_hits: int = 85,
     min_coverage_hits: int = 2,
     batch_targets: int = 64,
+    hit_policy: str = "score",
 ) -> int:
     """Full dazcon-equivalent flow; returns number of sequences emitted.
 
@@ -103,7 +140,9 @@ def run_dazcon(
         choose_layout,
     )
 
-    per_target = select_hits(parse_m4_stream(m4_stream), max_hits=max_hits)
+    per_target = select_hits(
+        parse_m4_stream(m4_stream), max_hits=max_hits, policy=hit_policy
+    )
     emitted = 0
     names = [
         t for t in sorted(per_target)
@@ -280,6 +319,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-m", "--min-length", type=int, default=500)
     p.add_argument("-x", "--max-hits", type=int, default=85)
     p.add_argument(
+        "--hit-policy", choices=("score", "length", "input", "span"),
+        default="score",
+        help="per-target hit ordering/selection policy (the reference's "
+        "exact TargetHit rule is a reconstruction; sensitivity across "
+        "policies is quantified in docs/HIT_SELECTION_SENSITIVITY.md)",
+    )
+    p.add_argument(
         "--trace-guided", action="store_true",
         help="band the re-aligner around the .las trace points "
         "(container inputs only; large speedup on long reads)",
@@ -298,6 +344,7 @@ def main(argv: list[str] | None = None) -> int:
         min_weight=args.min_coverage,
         min_length=args.min_length,
         max_hits=args.max_hits,
+        hit_policy=args.hit_policy,
     )
     return 0
 
