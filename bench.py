@@ -567,6 +567,14 @@ def main() -> int:
                 "devbuild_execute_bases_per_s": round(
                     devbuild_exec_rate, 1
                 ),
+                # % of the modeled per-chip ceiling for the devbuild
+                # step on this part (docs/ROOFLINE.md: ~1.98M b/s =
+                # ~55ms build + 3.6ms DP + 2ms emit per 128-target
+                # batch at measured primitive floors). Round-5 planning
+                # reads targets off this.
+                "roofline_pct": round(
+                    100.0 * devbuild_exec_rate / 1.98e6, 1
+                ),
                 "xla_path_bases_per_s": xla_spread,
                 "hybrid_device_share_bases_per_s": round(
                     hybrid_dev_attr_rate, 1
