@@ -39,7 +39,7 @@ log = logging.getLogger("pbdagcon_tpu")
 # a 32 rung (45.6k -> 56.6k b/s end to end), and a CH 192 rung bought
 # another 11% (-> 63k). Finer rungs cost compile shapes; the persistent
 # compilation cache (config.enable_compile_cache) amortizes them.
-_B_LADDER = (8, 32, 128)
+_B_LADDER = (8, 32, 64, 128)
 # Finer primary rungs (r3): the bench pileup (1000bp x 30x) needs
 # C=1240/R=30 and paid the 1536/32 rungs' 24% column padding in every
 # R*C-wide sort; mixed streams (soak classes 300-6000bp, 8-60x) paid up
@@ -472,8 +472,16 @@ def choose_window_caps(bkey, sub, prof, w_state, v_state, need_recent):
     ch_n, sm_n, nd_n, dq_n, se_n = (
         max(t[k] for t in nrec) for k in range(5)
     )
+    # Depth-bucketed batching: deep/wide piles (large R*C) take a
+    # smaller B rung so the dominant [B, R, C]-scaled passes stay
+    # within a bounded footprint — fewer targets x deeper piles per
+    # dispatch instead of a half-padded 128 batch (the 100-500x regime,
+    # BASELINE config #3).
+    b_fit = _ladder(len(sub), _B_LADDER) or _B_LADDER[-1]
+    while b_fit > _B_LADDER[0] and b_fit * Rb * Cb > (1 << 26):
+        b_fit = _B_LADDER[_B_LADDER.index(b_fit) - 1]
     return caps_for(
-        _ladder(len(sub), _B_LADDER) or _B_LADDER[-1],
+        b_fit,
         Rb, Cb, Lb, prof,
         ch_need=ch_n,
         sm_need=sm_n,

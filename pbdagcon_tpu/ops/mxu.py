@@ -161,7 +161,10 @@ def mxu_hist(values, valid, D, *, chunk: int = 4096):
     compare-reduce). Both are exact: integer sums below 2^24."""
     B, N = values.shape
     v = jnp.where(valid, values.astype(I32), jnp.int32(-1))
-    if _on_tpu() and B * N >= (1 << 18):
+    # Pallas kernel gate: its [8, N] VMEM input block must stay well
+    # under the 16 MB VMEM (measured OOM at N=330k); huge-N depth
+    # shapes take the chunked XLA matmul below instead.
+    if _on_tpu() and B * N >= (1 << 18) and N <= (1 << 17):
         return _pallas_hist(v, D)
     if D <= 2048:
         return jnp.sum(

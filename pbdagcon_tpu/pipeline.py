@@ -271,6 +271,8 @@ def device_align_stream(
             )
 
     for line in stream:
+        if isinstance(line, bytes):  # binary file/CLI streams
+            line = line.decode()
         f = line.split()
         if not f:
             continue
