@@ -46,7 +46,6 @@ from pbdagcon_tpu.ops.devbuild import (
     OP_MATCH,
 )
 from pbdagcon_tpu.ops.mxu import (
-    hist_lohi,
     mxu_gather,
     mxu_hist,
     mxu_scatter,
