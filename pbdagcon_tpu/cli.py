@@ -199,6 +199,31 @@ def main(argv: list[str] | None = None) -> int:
         jax.distributed.initialize(**kw)
         if not args.shard:
             args.shard = f"{jax.process_index()}/{jax.process_count()}"
+        if args.backend == "host":
+            # The host backend is shared-nothing after the shard split:
+            # no collectives, no global device mesh. Detach from the
+            # coordination service once every rank has its rank/count,
+            # so a peer's death (kill/restart, preemption) cannot
+            # propagate — measured: with the service attached, the
+            # heartbeat monitor TERMINATES surviving ranks when one
+            # rank is SIGKILLed (tools/soak_multirank.py finding).
+            try:
+                from jax._src import distributed as _dist
+
+                client = _dist.global_state.client
+                if client is not None:
+                    # barrier first: rank 0 hosts the service, so it
+                    # must not tear it down before peers connect.
+                    client.wait_at_barrier("dagcon_detach", 30_000)
+            except Exception:  # pragma: no cover - private API drift
+                import time as _time
+
+                _time.sleep(2.0)
+            jax.distributed.shutdown()
+            logging.getLogger("pbdagcon_tpu").info(
+                "distributed: detached after shard assignment "
+                "(host backend, shared-nothing)"
+            )
 
     journal = None
     if args.journal:

@@ -129,11 +129,16 @@ def main() -> int:
     ap.add_argument("--kill-at", type=float, default=0.4)
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--verify-full", action="store_true")
+    ap.add_argument("--input", default=None,
+                    help="reuse an existing generated pile.m5")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="soak_mr_")
-    inp = os.path.join(workdir, "pile.m5")
-    generate_file(inp, args.n)
+    if args.input:
+        inp = args.input
+    else:
+        inp = os.path.join(workdir, "pile.m5")
+        generate_file(inp, args.n)
     report = {"n": args.n, "ranks": args.ranks, "workdir": workdir}
 
     # ---- phase A: all ranks, kill rank 1 mid-run ---------------------
