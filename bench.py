@@ -30,6 +30,14 @@ import os
 import sys
 import time
 
+# Modeled per-chip ceiling for the devbuild step on THIS part (v5e,
+# one chip): docs/ROOFLINE.md floor model (~55 ms build + 3.6 ms DP +
+# 2 ms emit per 128-target batch of ~118,642 consensus bases, at the
+# measured best-known primitive rates). If ROOFLINE.md is re-derived
+# (new part, new primitive floors), update THIS constant in the same
+# change — `roofline_pct` below reports against it.
+ROOFLINE_BASES_PER_S = 1.98e6
+
 
 def log(*a) -> None:
     print(*a, file=sys.stderr, flush=True)
@@ -568,12 +576,11 @@ def main() -> int:
                     devbuild_exec_rate, 1
                 ),
                 # % of the modeled per-chip ceiling for the devbuild
-                # step on this part (docs/ROOFLINE.md: ~1.98M b/s =
-                # ~55ms build + 3.6ms DP + 2ms emit per 128-target
-                # batch at measured primitive floors). Round-5 planning
-                # reads targets off this.
+                # step on this part (ROOFLINE_BASES_PER_S at the top of
+                # this file; derivation in docs/ROOFLINE.md). Round-5
+                # planning reads targets off this.
                 "roofline_pct": round(
-                    100.0 * devbuild_exec_rate / 1.98e6, 1
+                    100.0 * devbuild_exec_rate / ROOFLINE_BASES_PER_S, 1
                 ),
                 "xla_path_bases_per_s": xla_spread,
                 "hybrid_device_share_bases_per_s": round(

@@ -219,7 +219,17 @@ def main(argv: list[str] | None = None) -> int:
                 import time as _time
 
                 _time.sleep(2.0)
-            jax.distributed.shutdown()
+            try:
+                jax.distributed.shutdown()
+            except Exception:  # pragma: no cover - peer raced teardown
+                # Rank 0 may tear the service down between our barrier
+                # return and this call (or the barrier fell back to the
+                # sleep above on API drift). Detaching is best-effort:
+                # a failed shutdown must never kill a surviving rank.
+                logging.getLogger("pbdagcon_tpu").warning(
+                    "distributed: shutdown raised; continuing detached",
+                    exc_info=True,
+                )
             logging.getLogger("pbdagcon_tpu").info(
                 "distributed: detached after shard assignment "
                 "(host backend, shared-nothing)"

@@ -1068,6 +1068,12 @@ def linearize_and_band(
     n_nodes = tri["n_nodes"]
     over_nd = n_nodes > ND
     i_arange = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    # The 14-bit zval field in the packed payload below is tied to this
+    # assert: chains that land (base_id < ND) have zval_c = base_id -
+    # lcp < ND <= 2^14, so zval never overflows into the i bits; chains
+    # past ND carry corrupt payloads but are dropped by the rank >= D
+    # filter inside mxu_scatter. Widening the ND ladder past 2^14
+    # requires widening this packing in the same change.
     assert ND <= (1 << 14) and N <= (1 << 15)
     st_tbl = mxu_scatter(
         base_id, n_new > 0,
@@ -1720,57 +1726,61 @@ def assemble_band(
         dimension=-1, num_keys=2,
     )
     # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
-    # the per-slot v-space loop gathers 2 arrays instead of 3.
+    # the per-slot v-space loop reads 2 arrays instead of 3.
     su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
-    # Per backbone p: short run = rows with key exactly 2p. Run bounds
-    # come from an MXU histogram of ukey over the 2-per-p grid + one
-    # cumsum (pure strided slices) — no searchsorted co-sort.
+    # Per backbone p: short run = rows with key exactly 2p. Run counts
+    # (for the SE-overflow flag) come from an MXU histogram of ukey
+    # over the 2-per-p grid.
     HLp = L + 2
     h_se = mxu_hist(
         se["p"] * 2 + se_islong.astype(I32), se["uniq"], 2 * HLp,
         chunk=4096,
     )
-    lo_full_se = jnp.cumsum(h_se, axis=-1, dtype=I32) - h_se
-    lo_p = lo_full_se[:, 0::2]
-    hi_p = lo_p + h_se[:, 0::2]
     p_real = (
         (jnp.arange(HLp, dtype=I32)[None, :] >= 1)
         & (jnp.arange(HLp, dtype=I32)[None, :] <= Lr[:, None])
     )
-    flags = flags | jnp.any(p_real & (hi_p - lo_p > SE), axis=-1)
-    si_ar = jnp.arange(SE, dtype=I32)[None, :, None]
+    flags = flags | jnp.any(p_real & (h_se[:, 0::2] > SE), axis=-1)
 
-    # Slot si of p's run sits at su row lo_p + si: SE shifted copies of
-    # the sorted row (pure slices) turn the per-(p, si) fetch into ONE
-    # broadcast gather at the shared index lo_p (the vectorized gather
-    # path, ~50x the elementwise rate) instead of two SE*HLp-element
-    # elementwise gathers.
-    def _shifts(a):  # [B, N] -> [B, SE, N] (row si = a shifted left si)
-        outs = [a]
-        for si in range(1, SE):
-            outs.append(
-                jnp.concatenate(
-                    [a[:, si:], jnp.zeros((B, si), a.dtype)], axis=-1
-                )
-            )
-        return jnp.stack(outs, axis=1)
-
-    lo_b = jnp.clip(lo_p, 0, N - 1)[:, None, :]  # size-1 dim: vectorized
-    t_nc = jnp.take_along_axis(_shifts(su_nc), lo_b, axis=2)
-    t_k = jnp.take_along_axis(_shifts(su_k), lo_b, axis=2)
-    t_ok = (
-        (lo_p[:, None, :] + si_ar < hi_p[:, None, :]).astype(jnp.int8)
+    # Slot tables straight to v-space by ONE unique-rank MXU scatter:
+    # a sorted short row's slot index si is its position within its
+    # ukey run (pure scans), its destination row is v = lin(p) (one
+    # small mxu_gather) — so (su_nc, su_k) scatter to rank si*V + v in
+    # a single [B, SE*V] transport. This replaces the old p-space
+    # detour (SE shifted copies + two 3-D broadcast take_along_axis
+    # hops), whose gathers ran at the elementwise rate at these shapes
+    # (measured +44 ms of the build; the scatter is ~3 ms).
+    posn2 = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    suk_i = su_key.astype(I32)
+    run_st = jnp.concatenate(
+        [jnp.ones((B, 1), bool), suk_i[:, 1:] != suk_i[:, :-1]], axis=-1
     )
-    picb2 = pic[:, None, :]  # size-1 dim: keeps the gather vectorized
-    nc_v = jnp.take_along_axis(t_nc, picb2, axis=2)
-    k_v = jnp.take_along_axis(t_k, picb2, axis=2)
-    ok_v = jnp.take_along_axis(t_ok, picb2, axis=2) > 0
+    si_of = posn2 - _seg_start_from_boundary(run_st)
+    BIGU = 0xFFFF if su16 else (1 << 21)
+    # short real rows: key = 2p, p >= 1 (key 0 = enter rows; odd = long)
+    sl_ok = (suk_i < BIGU) & (suk_i % 2 == 0) & (suk_i >= 2) & (
+        si_of < SE
+    )
+    v_of = mxu_gather(
+        lin_bb_full + 1, jnp.clip(suk_i // 2, 0, L + 1), max_val=1 << 16
+    ) - 1
+    sl_ok = sl_ok & (v_of >= 0) & (v_of < V)
+    scat_nc, scat_k = mxu_scatter(
+        si_of * V + jnp.clip(v_of, 0, V - 1), sl_ok,
+        (su_nc, su_k), SE * V, chunk=N, max_payload=1 << 31,
+    )
+    nc_v = scat_nc.reshape(B, SE, V)
+    k_v = scat_k.reshape(B, SE, V)
+    if _upto == 41:
+        return {"nc_v": nc_v, "k_v": k_v, "win": win, "wkey": wkey}
     for si in range(SE):
         nc = nc_v[:, si, :]
+        # an empty slot reads 0; real rows have count >= 1, so nc != 0
+        # is exactly slot-occupied.
         tgt = (nc >> 14).astype(I32)
         cnt = (nc & ((1 << 14) - 1)).astype(I32)
         win, wkey, flags = add_class(
-            win, wkey, flags, is_bb & ok_v[:, si, :], tgt - vb, cnt,
+            win, wkey, flags, is_bb & (nc != 0), tgt - vb, cnt,
             k_v[:, si, :],
         )
     if _upto == 5:

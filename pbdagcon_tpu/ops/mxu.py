@@ -202,9 +202,13 @@ def mxu_gather(tbl, idx, *, max_val: int, valid=None):
     bf16 factor is an exact small integer; each output cell receives
     exactly one nonzero term, so the f32 result is exact.
 
-    tbl: [B, T] integer in [0, max_val); idx: [B, N]. Out-of-range /
-    invalid indices read 0. Use only for T <= ~16k (cost scales with
-    T); wider tables should keep the hardware gather."""
+    tbl: [B, T] integer in [0, max_val); idx: [B, N]. Out-of-range
+    indices are CLAMPED to the padded table bounds (they read a real
+    boundary element, or 0 in the zero-padded tail T..dh*128); indices
+    masked off via `valid` genuinely read 0. Callers that need
+    out-of-range reads to be 0 must pre-clip or pass `valid`. Use only
+    for T <= ~16k (cost scales with T); wider tables should keep the
+    hardware gather."""
     B, T = tbl.shape
     dh = -(-T // _LANES)
     pad = dh * _LANES - T
@@ -248,6 +252,111 @@ def hist_lohi(values, valid, D, *, chunk: int = 4096):
     return lo, hi
 
 
+def _pallas_scatter(ranks, payloads, D, nbytes, *, nc: int = 2048):
+    """Fused unique-rank scatter kernel: the factorized one-hots and
+    byte-split payload planes are built chunk-by-chunk in VMEM and
+    accumulated on the MXU — the XLA form materializes
+    [B, N, NP*nbytes*128] bf16 payload planes in HBM (~1.6 GB at the
+    devbuild's SE shape), which dominates its cost.
+
+    ranks: [B, N] i32 (< 0 = dropped), unique among kept rows.
+    payloads: tuple of [B, N] i32. Returns tuple of [B, D] i32.
+    Grid is (B/8, dh-chunks); each dh-chunk re-reads the (small) value
+    rows and accumulates only its own rank range, keeping the VMEM
+    output block bounded. Caller gates shapes (see mxu_scatter)."""
+    B, N = ranks.shape
+    NP = len(payloads)
+    dh = -(-D // _LANES)
+    dh_blk = min(dh, 88)
+    dh_pad = -(-dh // dh_blk) * dh_blk
+    nchunks_d = dh_pad // dh_blk
+    npad = -(-N // nc) * nc
+    ROWS = 8
+    bpad = -(-B // ROWS) * ROWS
+
+    def padx(x, fill):
+        if npad != N or bpad != B:
+            return jnp.pad(
+                x, ((0, bpad - B), (0, npad - N)), constant_values=fill
+            )
+        return x
+
+    r_ = padx(ranks.astype(I32), -1)
+    ps = [padx(p.astype(I32), 0) for p in payloads]
+    nchunks = npad // nc
+    PLANES = NP * nbytes * _LANES
+
+    def kernel(r_ref, *rest):
+        p_refs = rest[:NP]
+        o_ref = rest[NP]
+        acc_ref = rest[NP + 1]
+        dc = pl.program_id(1)
+        base = dc * dh_blk * _LANES
+
+        def row(r, _):
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+            def body(c, _):
+                v = r_ref[r, pl.ds(c * nc, nc)].reshape(nc, 1) - base
+                a = (
+                    v // _LANES
+                    == jax.lax.broadcasted_iota(I32, (nc, dh_blk), 1)
+                ).astype(BF16)
+                bm = (
+                    v % _LANES
+                    == jax.lax.broadcasted_iota(I32, (nc, _LANES), 1)
+                ).astype(BF16)
+                # per-(payload, byte) plane dots into acc slices: small
+                # bf16 temps only (a fat concat + int32 where temps
+                # blow the VMEM stack at small dh). Both loops (rows,
+                # chunks) are runtime fori_loops so unrolling can't
+                # stack per-iteration temps (measured 40+ MB scoped-
+                # vmem OOM when unrolled at single-chunk shapes).
+                for k in range(NP):
+                    pv = p_refs[k][r, pl.ds(c * nc, nc)].reshape(nc, 1)
+                    for by in range(nbytes):
+                        pb = ((pv >> (8 * by)) & 0xFF).astype(BF16)
+                        j = (k * nbytes + by) * _LANES
+                        acc_ref[:, j:j + _LANES] += jax.lax.dot_general(
+                            a, bm * pb,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, nchunks, body, 0)
+            o_ref[r, :, :] = acc_ref[:, :].astype(I32)
+            return 0
+
+        jax.lax.fori_loop(0, ROWS, row, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bpad // ROWS, nchunks_d),
+        in_specs=[
+            pl.BlockSpec((ROWS, npad), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * (1 + NP),
+        out_specs=pl.BlockSpec(
+            (ROWS, dh_blk, PLANES), lambda b, d: (b, d, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bpad, dh_pad, PLANES), I32),
+        scratch_shapes=[pltpu.VMEM((dh_blk, PLANES), jnp.float32)],
+    )(r_, *ps)
+    res = []
+    for k in range(NP):
+        tot = jnp.zeros((bpad, dh_pad * _LANES), I32)
+        for by in range(nbytes):
+            sl = out[:, :, (k * nbytes + by) * _LANES:
+                     (k * nbytes + by + 1) * _LANES]
+            tot = tot + (
+                sl.reshape(bpad, dh_pad * _LANES) << (8 * by)
+            )
+        res.append(tot[:B, :D])
+    return tuple(res)
+
+
 def mxu_scatter(ranks, valid, payloads, D, *, chunk: int = 4096,
                 max_payload: int = 1 << 16):
     """Transport payloads to known destination ranks (sort-free
@@ -264,6 +373,22 @@ def mxu_scatter(ranks, valid, payloads, D, *, chunk: int = 4096,
     dh = -(-D // _LANES)
     nbytes = max(1, -(-(max_payload - 1).bit_length() // 8))
     r = jnp.where(valid, ranks.astype(I32), jnp.int32(-1))
+    # Fused Pallas path (TPU): avoids materializing the one-hot /
+    # payload-plane operands in HBM. Gates (measured on this part /
+    # axon backend): grid steps (B/8 * dh-chunks) <= 112 (the remote
+    # AOT compiler crashes near ~128), VMEM input blocks small
+    # (N <= 2^14), payload planes <= 1024 lanes, and enough rows that
+    # the kernel's fixed cost amortizes.
+    if (
+        _on_tpu()
+        and B >= 8
+        and 1024 <= N <= (1 << 14)
+        and len(payloads) * nbytes * _LANES <= 1024
+        and (-(-B // 8)) * (-(-dh // 88)) <= 112
+    ):
+        return _pallas_scatter(
+            r, [p.astype(I32) for p in payloads], D, nbytes
+        )
     rc = _pad_chunks(r, chunk, -1)
     pc = [
         _pad_chunks(p.astype(I32), chunk, 0) for p in payloads

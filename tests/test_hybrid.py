@@ -207,6 +207,9 @@ def _run_stub_hybrid(monkeypatch, text: str, host_spb: float,
 
     monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", str(chunk_kb))
     monkeypatch.delenv("DAGCON_HYBRID_FORCE_DEV", raising=False)
+    # These tests exercise the steal rule, not the probe deferral —
+    # the stub device has no warmup cost to amortize.
+    monkeypatch.setenv("DAGCON_HYBRID_PROBE_DEFER_S", "0")
     _FakeHostEngine.spb = host_spb
     monkeypatch.setattr(native, "NativeEngine", _FakeHostEngine)
 
@@ -265,6 +268,85 @@ def test_hybrid_taper_keeps_slow_device_off_tail(monkeypatch):
     assert stats.hybrid_dev_chunks <= max(2, total // 5), (
         f"slow device took {stats.hybrid_dev_chunks}/{total} chunks"
     )
+
+
+def test_hybrid_probe_deferred_on_short_stream(monkeypatch):
+    """The never-worse floor, by construction (VERDICT r4 #4): on a
+    stream shorter than the probe-deferral window, the device must take
+    ZERO chunks — its first pull would trigger warmup whose host-side
+    CPU cost is exactly how BENCH_r04's hybrid landed 12% below
+    host-only. Output parity is unchanged (host processes everything)."""
+    import time
+
+    from pbdagcon_tpu import devpipe, native
+    from pbdagcon_tpu.hybrid import run_stream_hybrid
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    text = _workload(n_targets=48, length=60, cov=3, seed=31)
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "1")
+    monkeypatch.delenv("DAGCON_HYBRID_FORCE_DEV", raising=False)
+    monkeypatch.setenv("DAGCON_HYBRID_PROBE_DEFER_S", "3600")
+    _FakeHostEngine.spb = 2e-6
+    monkeypatch.setattr(native, "NativeEngine", _FakeHostEngine)
+    pulled = [0]
+
+    def fake_devbuild(stream, writer, dcfg, st):
+        pulled[0] += 1
+        data = stream.read()
+        fasta, n = _FakeHostEngine.fasta_for(data)
+        writer.stream.write(fasta)
+        st.targets = n
+        return st
+
+    monkeypatch.setattr(devpipe, "run_devbuild_native", fake_devbuild)
+    buf = _io.StringIO()
+    cfg = DagconConfig(backend="hybrid", min_weight=3, min_length=50)
+    stats = PipelineStats()
+    run_stream_hybrid(_io.StringIO(text), FastaWriter(buf), cfg, stats)
+    assert pulled[0] == 0, "device probed inside the deferral window"
+    assert stats.hybrid_dev_chunks == 0
+    assert stats.targets == 48
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert buf.getvalue() == expect
+
+
+def test_hybrid_probe_allowed_when_host_drowns(monkeypatch):
+    """The deferral yields early when the queue saturates: a host that
+    cannot keep up releases the probe at defer/4 instead of stalling
+    the stream for the full window."""
+    import time
+
+    from pbdagcon_tpu import devpipe, native
+    from pbdagcon_tpu.hybrid import run_stream_hybrid
+    from pbdagcon_tpu.pipeline import PipelineStats
+
+    text = _workload(n_targets=64, length=60, cov=3, seed=32)
+    monkeypatch.setenv("DAGCON_HYBRID_CHUNK_KB", "1")
+    monkeypatch.delenv("DAGCON_HYBRID_FORCE_DEV", raising=False)
+    # defer = 2s -> saturated queue releases the probe after 0.5s.
+    monkeypatch.setenv("DAGCON_HYBRID_PROBE_DEFER_S", "2")
+    _FakeHostEngine.spb = 3e-4  # slow host: queue saturates
+    monkeypatch.setattr(native, "NativeEngine", _FakeHostEngine)
+
+    def fake_devbuild(stream, writer, dcfg, st):
+        data = stream.read()
+        fasta, n = _FakeHostEngine.fasta_for(data)
+        writer.stream.write(fasta)
+        st.targets = n
+        return st
+
+    monkeypatch.setattr(devpipe, "run_devbuild_native", fake_devbuild)
+    buf = _io.StringIO()
+    cfg = DagconConfig(backend="hybrid", min_weight=3, min_length=50)
+    stats = PipelineStats()
+    t0 = time.monotonic()
+    run_stream_hybrid(_io.StringIO(text), FastaWriter(buf), cfg, stats)
+    assert stats.hybrid_dev_chunks >= 1, (
+        "drowning host never released the probe"
+    )
+    assert stats.targets == 64
+    expect, _ = _FakeHostEngine.fasta_for(text.encode())
+    assert buf.getvalue() == expect
 
 
 def test_hybrid_attribution_stats(monkeypatch):
