@@ -53,6 +53,18 @@ from pbdagcon_tpu.ops.mxu import (
 
 I32 = jnp.int32
 
+# Profiling-only ablation switches (tools/ablate_devbuild.py): each
+# name replaces one suspect op with a shape/dtype-identical stand-in
+# so the op's cost can be measured as a full-build delta WITH fusion
+# intact (prefix-difference profiling mis-attributes tens of ms to
+# materialization at stage boundaries). NEVER set in production — the
+# stand-ins produce wrong values.
+_ABLATE: frozenset = frozenset()
+
+
+def _abl(name: str) -> bool:
+    return name in _ABLATE
+
 
 @dataclasses.dataclass(frozen=True)
 class Caps:
@@ -355,8 +367,10 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     last = jnp.clip(
         (chain_first + chain_len - 1).reshape(B, R * CH), 0, NI - 1
     )
-    ba = jnp.take_along_axis(
-        ba_sh, last[:, None, :], axis=2
+    ba = (
+        ba_sh[:, :, : R * CH]
+        if _abl("extract_ba")
+        else jnp.take_along_axis(ba_sh, last[:, None, :], axis=2)
     ).reshape(B, SM, R, CH)
     rev_ba = jnp.where(src_ok, ba, 0)
     overflow = chain_len > SM
@@ -480,14 +494,6 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
     DKEY = (L + 2) * (STRIDE + 1)  # > EOFF + L + 1
     ev_valid = keys < BIG
     h = mxu_hist(keys, ev_valid, DKEY, chunk=4096)
-    lo_full = jnp.cumsum(h, axis=-1, dtype=I32) - h  # exclusive
-    # The min creating read per key is the run head of the (key, read)
-    # sort; only the read payload is needed post-sort.
-    if (L + 2) * STRIDE + (L + 2) < 0xFFFF and R < 0xFFFF:
-        keys = jnp.minimum(keys, 0xFFFF).astype(jnp.uint16)
-        reads = reads.astype(jnp.uint16)
-    _sk, sr = jax.lax.sort((keys, reads), dimension=-1, num_keys=2)
-    NT = sr.shape[1]
 
     eoff_py = (L + 2) * STRIDE
 
@@ -496,15 +502,61 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
         return intr[..., 1 : DQ + 2], a[:, eoff_py : eoff_py + L + 2]
 
     cnt_i, cnt_e = grid_parts(h)
-    lo_i, lo_e = grid_parts(lo_full)
     cnt = jnp.concatenate([cnt_i.reshape(B, -1), cnt_e], axis=-1)
-    lo = jnp.concatenate([lo_i.reshape(B, -1), lo_e], axis=-1)
-    rkey = jnp.where(
-        cnt > 0,
-        jnp.take_along_axis(sr, jnp.clip(lo, 0, NT - 1), axis=-1)
-        .astype(I32),
-        BIG,
-    )
+    if R <= 64 and jax.default_backend() == "tpu":
+        # Min creating read per key WITHOUT the (key, read) sort and
+        # its post-sort grid gather (~19 ms/batch at bench caps): the
+        # (key, read) pairs are unique (per read, event keys strictly
+        # increase in j), so the weighted histogram of 1 << read per
+        # key is an exact read-bitmask (per-bin byte-plane sums are
+        # sums of distinct bits), and min read = count-trailing-zeros.
+        from pbdagcon_tpu.ops.mxu import mxu_weighted_hist
+
+        if R <= 32:
+            wbits = (
+                jnp.left_shift(jnp.int32(1), reads),
+            )
+        else:
+            wbits = (
+                jnp.where(
+                    reads < 32,
+                    jnp.left_shift(jnp.int32(1), reads & 31), 0
+                ),
+                jnp.where(
+                    reads >= 32,
+                    jnp.left_shift(jnp.int32(1), reads & 31), 0
+                ),
+            )
+        masks = mxu_weighted_hist(keys, ev_valid, wbits, DKEY)
+
+        def ctz(m):  # m != 0: position of lowest set bit
+            return jax.lax.population_count((m & -m) - 1)
+
+        if R <= 32:
+            rk_full = ctz(masks[0])
+        else:
+            rk_full = jnp.where(
+                masks[0] != 0, ctz(masks[0]), 32 + ctz(masks[1])
+            )
+        rkm_i, rkm_e = grid_parts(rk_full)
+        rk_grid = jnp.concatenate([rkm_i.reshape(B, -1), rkm_e], -1)
+        rkey = jnp.where(cnt > 0, rk_grid, BIG)
+    else:
+        # Wide-R / CPU fallback: run-head of the (key, read) sort.
+        lo_full = jnp.cumsum(h, axis=-1, dtype=I32) - h  # exclusive
+        if (L + 2) * STRIDE + (L + 2) < 0xFFFF and R < 0xFFFF:
+            keys = jnp.minimum(keys, 0xFFFF).astype(jnp.uint16)
+            reads = reads.astype(jnp.uint16)
+        _sk, sr = jax.lax.sort((keys, reads), dimension=-1, num_keys=2)
+        NT = sr.shape[1]
+        lo_i, lo_e = grid_parts(lo_full)
+        lo = jnp.concatenate([lo_i.reshape(B, -1), lo_e], axis=-1)
+        rkey = jnp.where(
+            cnt > 0,
+            jnp.take_along_axis(sr, jnp.clip(lo, 0, NT - 1), axis=-1)
+            .astype(I32),
+            BIG,
+        )
     ni = (L + 2) * (DQ + 1)
     cnt_i = cnt[:, :ni].reshape(B, L + 2, DQ + 1)
     rk_i = rkey[:, :ni].reshape(B, L + 2, DQ + 1)
@@ -924,6 +976,8 @@ def build_tries(fc, Lr, caps: Caps):
     sidx = (p2s & SMASK).astype(I32)
 
     def g2(a):  # [B, SM, N] depth-major, shared-index broadcast gather
+        if _abl("tries_g2"):
+            return a
         return jnp.take_along_axis(a, sidx[:, None, :], axis=2)
 
     s_ba = g2(ba_dm)  # sorted chains, [B, SM, N]
@@ -978,7 +1032,15 @@ def build_tries(fc, Lr, caps: Caps):
     zval = base_id - lcp  # nid = z[owner] + d - 1
 
     owners, run_ends, nids, weights, survivors = [], [], [], [], []
-    for d in range(1, SM + 1):
+    if _abl("tries_scans"):
+        z = jnp.zeros((B, N), I32)
+        for d in range(1, SM + 1):
+            owners.append(z)
+            run_ends.append(z + N)
+            nids.append(zval + d - 1)
+            weights.append(z + 1)
+            survivors.append(packed)
+    for d in (() if _abl("tries_scans") else range(1, SM + 1)):
         bnd = lcp < d  # run starts for depth d
         owner = jax.lax.cummax(jnp.where(bnd, pos, 0), axis=1)
         # run end: next boundary strictly after i (N if none).
@@ -1116,8 +1178,10 @@ def linearize_and_band(
             [re_dm, w_dm, sv_dm, nid_dm, rb_dm.astype(I32),
              s["t"][:, None, :]], axis=1
         ).astype(jnp.uint32)
-    gath = jnp.take_along_axis(
-        planes, i_r[:, None, :], axis=2
+    gath = (
+        planes[:, :, :ND]
+        if _abl("linz_planes")
+        else jnp.take_along_axis(planes, i_r[:, None, :], axis=2)
     )  # [B, P, ND] — shared-index broadcast gather (vectorized path)
 
     def dsel(off):
@@ -1185,7 +1249,11 @@ def linearize_and_band(
     # gather over the depth-major planes (the vectorized gather path)
     # + an SM-way lane select, instead of an elementwise N*SM fetch.
     ra_dm = s["rev_ba"] >> 8  # [B, SM, N]
-    ga = jnp.take_along_axis(ra_dm, jc[:, None, :], axis=2)  # [B,SM,ND]
+    ga = (
+        ra_dm[:, :, :ND]
+        if _abl("linz_ra")
+        else jnp.take_along_axis(ra_dm, jc[:, None, :], axis=2)
+    )  # [B, SM, ND]
     nanch = jnp.zeros_like(nd_)
     for d0 in range(1, SM + 1):
         nanch = jnp.where(nd_ == d0, ga[:, d0 - 1, :], nanch)
@@ -1430,9 +1498,14 @@ def assemble_band(
     # trie-node base at (run-start chain, depth-1): shared-index
     # broadcast gather over the depth-major planes + SM-way select.
     rb_dm = linz["s"]["rev_ba"] & 0xFF  # [B, SM, N]
-    gb = jnp.take_along_axis(
-        rb_dm, jnp.clip(node["rs"], 0, rb_dm.shape[2] - 1)[:, None, :],
-        axis=2,
+    gb = (
+        rb_dm[:, :, :ND]
+        if _abl("asm_base_gb")
+        else jnp.take_along_axis(
+            rb_dm,
+            jnp.clip(node["rs"], 0, rb_dm.shape[2] - 1)[:, None, :],
+            axis=2,
+        )
     )  # [B, SM, ND]
     node_base_tbl = jnp.zeros_like(node["d"])
     for d0 in range(1, caps.SM + 1):
@@ -1474,11 +1547,17 @@ def assemble_band(
             return jnp.concatenate([x, pad], axis=-1)
         return x
 
-    _sk, s1, s2, s3, s4 = jax.lax.sort(
-        (cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
-         cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b)),
-        dimension=-1, num_keys=1,
-    )
+    if _abl("asm_sort"):
+        _sk, s1, s2, s3, s4 = (
+            cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
+            cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b),
+        )
+    else:
+        _sk, s1, s2, s3, s4 = jax.lax.sort(
+            (cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
+             cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b)),
+            dimension=-1, num_keys=1,
+        )
     s1, s2, s3, s4 = s1[:, :V], s2[:, :V], s3[:, :V], s4[:, :V]
 
     in_range = vb < n_total[:, None]
@@ -1520,6 +1599,8 @@ def assemble_band(
         """present/span/count/key: [B, V]; span 1..: lane = span-1."""
         ok = present & (span >= 1) & (span <= W) & in_range
         flags = flags | jnp.any(present & (span > W) & in_range, axis=-1)
+        if _abl("asm_band"):
+            return win, wkey, flags
         m = ok[:, None, :] & (wlane == (span[:, None, :] - 1))
         win = jnp.where(m, count.astype(jnp.int16)[:, None, :], win)
         wkey = jnp.where(m, key[:, None, :], wkey)
@@ -1638,8 +1719,14 @@ def assemble_band(
     # broadcast_to hides the shared-index structure from XLA and forces
     # the ~50x slower elementwise gather path (measured).
     picb = pic[:, None, :]
-    qlin_v = jnp.take_along_axis(qlin_all, picb, axis=2)
-    pk_v = jnp.take_along_axis(pa_t, picb, axis=2)
+    if _abl("asm_dq_gather"):
+        qlin_v = jnp.broadcast_to(
+            qlin_all[:, :, :1], (B, DQ - 1, V)
+        ).astype(I32) + vb[:, None, :] + 1
+        pk_v = jnp.broadcast_to(pa_t[:, :, :1], (B, DQ, V)).astype(I32)
+    else:
+        qlin_v = jnp.take_along_axis(qlin_all, picb, axis=2)
+        pk_v = jnp.take_along_axis(pa_t, picb, axis=2)
     for dq in range(2, DQ + 1):
         qlin = qlin_v[:, dq - 2, :]
         pk = pk_v[:, dq - 1, :]
@@ -1765,10 +1852,14 @@ def assemble_band(
         lin_bb_full + 1, jnp.clip(suk_i // 2, 0, L + 1), max_val=1 << 16
     ) - 1
     sl_ok = sl_ok & (v_of >= 0) & (v_of < V)
-    scat_nc, scat_k = mxu_scatter(
-        si_of * V + jnp.clip(v_of, 0, V - 1), sl_ok,
-        (su_nc, su_k), SE * V, chunk=N, max_payload=1 << 31,
-    )
+    if _abl("asm_se_scatter"):
+        scat_nc = jnp.zeros((B, SE * V), I32) + su_nc[:, :1].astype(I32)
+        scat_k = jnp.zeros((B, SE * V), I32) + su_k[:, :1]
+    else:
+        scat_nc, scat_k = mxu_scatter(
+            si_of * V + jnp.clip(v_of, 0, V - 1), sl_ok,
+            (su_nc, su_k), SE * V, chunk=N, max_payload=1 << 31,
+        )
     nc_v = scat_nc.reshape(B, SE, V)
     k_v = scat_k.reshape(B, SE, V)
     if _upto == 41:

@@ -357,6 +357,69 @@ def _pallas_scatter(ranks, payloads, D, nbytes, *, nc: int = 2048):
     return tuple(res)
 
 
+def mxu_weighted_hist(values, valid, weights, D, *,
+                      max_weight: int = 1 << 31):
+    """Weighted histogram: out[k][b, d] = sum of weights[k][b, n] over
+    valid n with values[b, n] == d. Unlike mxu_scatter, values may
+    REPEAT — the accumulation is a sum, which is exact iff every bin's
+    per-byte-plane sum stays below 2^24 (f32 integer exactness). The
+    canonical caller is the transitions min-read bitmask (weights =
+    1 << read with unique (value, read) pairs: per-bin byte sums are
+    sums of <= 8 distinct bits <= 255). Caller is responsible for that
+    bound. Returns tuple of [B, D] i32."""
+    B, N = values.shape
+    nbytes = max(1, -(-(max_weight - 1).bit_length() // 8))
+    v = jnp.where(valid, values.astype(I32), jnp.int32(-1))
+    dh = -(-D // _LANES)
+    NP = len(weights)
+    if (
+        _on_tpu()
+        and B >= 8
+        and (1 + NP) * (-(-N // 2048) * 2048) <= (1 << 17)
+        and NP * nbytes * _LANES <= 1024
+        and (-(-B // 8)) * (-(-dh // 88)) <= 112
+    ):
+        return _pallas_scatter(
+            v, [w.astype(I32) for w in weights], D, nbytes
+        )
+    # XLA fallback (CPU tests take the sort-free chunked matmul form).
+    vc = _pad_chunks(v, 4096, -1)
+    wc = [_pad_chunks(w.astype(I32), 4096, 0) for w in weights]
+    nc = vc.shape[1]
+
+    def step(acc, xs):
+        vals = xs[0]
+        a, bm = _factor_onehots(vals, dh)
+        cols = []
+        for p in xs[1:]:
+            for by in range(nbytes):
+                cols.append(
+                    bm * ((p >> (8 * by)) & 0xFF).astype(BF16)[..., None]
+                )
+        return acc + _matmul_acc(a, jnp.concatenate(cols, -1)), None
+
+    acc0 = jnp.zeros((B, dh, NP * nbytes * _LANES), jnp.float32)
+    if nc == 1:
+        acc, _ = step(acc0, (vc[:, 0],) + tuple(w[:, 0] for w in wc))
+    else:
+        acc, _ = jax.lax.scan(
+            step, acc0,
+            (jnp.moveaxis(vc, 1, 0),)
+            + tuple(jnp.moveaxis(w, 1, 0) for w in wc),
+        )
+    out = []
+    for k in range(NP):
+        tot = jnp.zeros((B, dh * _LANES), I32)
+        for by in range(nbytes):
+            sl = acc[:, :, (k * nbytes + by) * _LANES:
+                     (k * nbytes + by + 1) * _LANES]
+            tot = tot + (
+                sl.reshape(B, dh * _LANES).astype(I32) << (8 * by)
+            )
+        out.append(tot[:, :D])
+    return tuple(out)
+
+
 def mxu_scatter(ranks, valid, payloads, D, *, chunk: int = 4096,
                 max_payload: int = 1 << 16):
     """Transport payloads to known destination ranks (sort-free
