@@ -66,6 +66,21 @@ def _abl(name: str) -> bool:
     return name in _ABLATE
 
 
+def _sort(name: str, operands, *, num_keys: int):
+    """lax.sort with an ablation stand-in (returns operands unsorted —
+    same shapes/dtypes/value ranges, wrong order)."""
+    if _abl(name):
+        return operands
+    return jax.lax.sort(operands, dimension=-1, num_keys=num_keys)
+
+
+def _hist(name: str, values, valid, D: int, **kw):
+    """mxu_hist with an ablation stand-in (all-zero counts)."""
+    if _abl(name):
+        return jnp.zeros(values.shape[:-1] + (D,), I32)
+    return mxu_hist(values, valid, D, **kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class Caps:
     """Static shape caps for one compiled build. Targets exceeding any
@@ -137,17 +152,18 @@ def coverage_and_matches(ops, starts, dec, caps: Caps):
     # MXU one-hot counting (ops/mxu.py), no sort.
     ends1 = jnp.clip(dec["ends"] + 1, 0, HL - 1) + HL
     iv = jnp.concatenate([starts, ends1], axis=-1)
-    c_iv = mxu_hist(
-        iv, jnp.concatenate([live, live], axis=-1), 2 * HL, chunk=4096
+    c_iv = _hist(
+        "cov_hist", iv, jnp.concatenate([live, live], axis=-1), 2 * HL,
+        chunk=4096,
     )
     cov = jnp.cumsum(c_iv[:, :HL] - c_iv[:, HL:], axis=-1)
 
     # matches[b, p] = # match columns consuming p: a histogram of the
     # match columns' target positions (padding rows have no OP_MATCH).
     is_m = ops == OP_MATCH
-    matches = mxu_hist(
-        dec["tpos"].reshape(B, R * C), is_m.reshape(B, R * C), HL,
-        chunk=4096,
+    matches = _hist(
+        "match_hist", dec["tpos"].reshape(B, R * C),
+        is_m.reshape(B, R * C), HL, chunk=4096,
     )
     return cov, matches
 
@@ -193,7 +209,7 @@ def matched_positions(ops, dec, starts, Lr, caps: Caps):
     if R * C < (1 << 16):  # u16 sort: half the traffic (val < 2^16)
         key = key.astype(jnp.uint16)
         val = val.astype(jnp.uint16)
-    _sk, sv = jax.lax.sort((key, val), dimension=-1, num_keys=1)
+    _sk, sv = _sort("mpos_sort", (key, val), num_keys=1)
     svg = sv.astype(I32).reshape(B, R, C)
     j = jnp.arange(C, dtype=I32)
     in_m = j[None, None, :] < dec["n_matches"][..., None]
@@ -236,11 +252,12 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
         skey = jnp.where(
             flat_ins, (cum - 1).astype(jnp.uint16), jnp.uint16(0xFFFF)
         )
-        _sk3, pos_s, seg_s, tp_s = jax.lax.sort(
+        _sk3, pos_s, seg_s, tp_s = _sort(
+            "extract_sort",
             (skey, fidx.astype(jnp.uint16),
              dec["seg"].reshape(B, RC).astype(jnp.uint16),
              dec["tpos"].reshape(B, RC).astype(jnp.uint16)),
-            dimension=-1, num_keys=1,
+            num_keys=1,
         )
         valid_k = k[None, :] < total[:, None]
         posc = jnp.clip(pos_s[:, :NI].astype(I32), 0, RC - 1)
@@ -252,8 +269,8 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
         sa = (
             (dec["seg"] << 15) | dec["tpos"]
         ).reshape(B, RC)  # seg(<=C) @15 | tpos(15b)
-        _sk3, pos_s, sa_s = jax.lax.sort(
-            (skey, fidx, sa), dimension=-1, num_keys=1
+        _sk3, pos_s, sa_s = _sort(
+            "extract_sort", (skey, fidx, sa), num_keys=1
         )
         valid_k = k[None, :] < total[:, None]
         posc = jnp.clip(pos_s[:, :NI], 0, RC - 1)
@@ -294,7 +311,10 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     chain_valid = ch[None, None, :] < n_chains[..., None]
     g_grid = first_g[..., None] + ch[None, None, :]  # [B, R, CH]
     g_q = jnp.where(chain_valid, g_grid, BIGK).reshape(B, R * CH)
-    if NI < (1 << 15) - 2:  # chain ids < NI: i16 co-sort, half traffic
+    if _abl("chain_ss"):
+        gq_c = jnp.clip(g_q, 0, NI)
+        both = jnp.concatenate([gq_c, gq_c], axis=-1)
+    elif NI < (1 << 15) - 2:  # chain ids < NI: i16 co-sort, half traffic
         rows16 = jnp.minimum(gch_s, (1 << 15) - 1).astype(jnp.int16)
         gq16 = jnp.minimum(g_q, (1 << 15) - 2).astype(jnp.int16)
         both = _row_searchsorted(
@@ -368,7 +388,7 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
         (chain_first + chain_len - 1).reshape(B, R * CH), 0, NI - 1
     )
     ba = (
-        ba_sh[:, :, : R * CH]
+        jnp.broadcast_to(ba_sh[:, :, :1], (B, SM, R * CH)) + 0
         if _abl("extract_ba")
         else jnp.take_along_axis(ba_sh, last[:, None, :], axis=2)
     ).reshape(B, SM, R, CH)
@@ -493,7 +513,7 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
     # the reshaped histogram with pure slices.
     DKEY = (L + 2) * (STRIDE + 1)  # > EOFF + L + 1
     ev_valid = keys < BIG
-    h = mxu_hist(keys, ev_valid, DKEY, chunk=4096)
+    h = _hist("trans_hist", keys, ev_valid, DKEY, chunk=4096)
 
     eoff_py = (L + 2) * STRIDE
 
@@ -527,7 +547,12 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
                     jnp.left_shift(jnp.int32(1), reads & 31), 0
                 ),
             )
-        masks = mxu_weighted_hist(keys, ev_valid, wbits, DKEY)
+        if _abl("trans_mask"):
+            masks = tuple(
+                jnp.zeros((B, DKEY), I32) + 1 for _ in wbits
+            )
+        else:
+            masks = mxu_weighted_hist(keys, ev_valid, wbits, DKEY)
 
         def ctz(m):  # m != 0: position of lowest set bit
             return jax.lax.population_count((m & -m) - 1)
@@ -574,7 +599,7 @@ def transitions_table(dec, mtab, chains, starts, Lr, caps: Caps):
 def _presence_hist(values, valid, upper, caps_n):
     """values [B, N] (valid mask) -> count per value in [0, upper):
     MXU one-hot histogram (ops/mxu.py) — counting, not sorting."""
-    return mxu_hist(values, valid, upper, chunk=4096)
+    return _hist("absorb_hists", values, valid, upper, chunk=4096)
 
 
 def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
@@ -708,7 +733,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     dl_m = died & (dd > DQ)
     dl_key = jnp.where(dl_m, pf * (caps.L + 2) + pmN, jnp.int32(1 << 28))
     dl_rd = jnp.where(dl_m, read, jnp.int32(1 << 20))
-    sdk, sdr = jax.lax.sort((dl_key, dl_rd), dimension=-1, num_keys=2)
+    sdk, sdr = _sort("absorb_dl_sort", (dl_key, dl_rd), num_keys=2)
     dl_uniq = (sdk < (1 << 28)) & jnp.concatenate(
         [jnp.ones((B, 1), bool), sdk[:, 1:] != sdk[:, :-1]], axis=-1
     )
@@ -726,7 +751,7 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # compact unique died-long edges to K slots (sort uniq-first).
     cu_key = jnp.where(dl_uniq, sdk, jnp.int32(1 << 28))
     cu_pos = posd
-    cuk, cup = jax.lax.sort((cu_key, cu_pos), dimension=-1, num_keys=2)
+    cuk, cup = _sort("absorb_dl_sort", (cu_key, cu_pos), num_keys=2)
     died_long = {
         "p": jnp.where(cuk[:, :K] < (1 << 28), cuk[:, :K] // (caps.L + 2), -1),
         "q": jnp.where(cuk[:, :K] < (1 << 28), cuk[:, :K] % (caps.L + 2), -1),
@@ -758,10 +783,11 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
             (pf * (DQ + 2) + dd).astype(jnp.uint16),
             jnp.uint16(KPAD),
         )
-        sk2, s_pack = jax.lax.sort(
+        sk2, s_pack = _sort(
+            "absorb_died_sort",
             (dkey,
              (read * (caps.L + 2) + tf).astype(jnp.uint16)),
-            dimension=-1, num_keys=2,
+            num_keys=2,
         )
     elif KPAD < 0xFFFF and caps.R < 0xFFFF and caps.L + 2 < 0xFFFF:
         # u16 sort (half traffic): min-(read, t) ordering preserved by
@@ -787,8 +813,8 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # counts + first-occurrence index per (p, dq) key: MXU histogram
     # over the regular key grid + exclusive cumsum — pure slices, no
     # searchsorted co-sort.
-    h2 = mxu_hist(
-        pf * (DQ + 2) + dd, died & (dd >= 1) & (dd <= DQ),
+    h2 = _hist(
+        "absorb_hists", pf * (DQ + 2) + dd, died & (dd >= 1) & (dd <= DQ),
         (caps.L + 2) * (DQ + 2), chunk=4096,
     )
     lo2 = jnp.cumsum(h2, axis=-1, dtype=I32) - h2
@@ -824,7 +850,8 @@ def apply_absorption(chains, trans, bb, Lr, caps: Caps, _upto: int = 0):
     # sort ([B, 4N]) plus its wider searchsorted.
     assert 2 * ABR + 1 <= 7
     abs_any = valid & (kx > 0)
-    cnt_key = mxu_hist(
+    cnt_key = _hist(
+        "absorb_hists",
         jnp.clip(tf, 0, HL - 1) * 8 + 2 * kx + died.astype(I32),
         abs_any, 8 * HL, chunk=4096,
     ).reshape(B, HL, 8)
@@ -967,10 +994,11 @@ def build_tries(fc, Lr, caps: Caps):
         | (fc["seq"].astype(jnp.uint32) << SB)
         | idx.astype(jnp.uint32)
     )
-    sorted_ops = jax.lax.sort(
+    sorted_ops = _sort(
+        "tries_sort",
         tuple([tkey] + [ln.astype(jnp.uint32) for ln in lanes]
               + [pay1, pay2]),
-        dimension=-1, num_keys=1 + len(lanes),
+        num_keys=1 + len(lanes),
     )
     st, p1s, p2s = sorted_ops[0], sorted_ops[-2], sorted_ops[-1]
     sidx = (p2s & SMASK).astype(I32)
@@ -1031,35 +1059,58 @@ def build_tries(fc, Lr, caps: Caps):
     packed = (seqpack << 14) | pos
     zval = base_id - lcp  # nid = z[owner] + d - 1
 
-    owners, run_ends, nids, weights, survivors = [], [], [], [], []
-    if _abl("tries_scans"):
-        z = jnp.zeros((B, N), I32)
-        for d in range(1, SM + 1):
-            owners.append(z)
-            run_ends.append(z + N)
-            nids.append(zval + d - 1)
-            weights.append(z + 1)
-            survivors.append(packed)
-    for d in (() if _abl("tries_scans") else range(1, SM + 1)):
-        bnd = lcp < d  # run starts for depth d
-        owner = jax.lax.cummax(jnp.where(bnd, pos, 0), axis=1)
-        # run end: next boundary strictly after i (N if none).
-        nxt = jnp.where(bnd, pos, N)
-        rev_cummin = jnp.flip(
-            jax.lax.cummin(jnp.flip(nxt, axis=-1), axis=1), axis=-1
+    # All SM depths at once, DEPTH-MAJOR [B, SM, N] (the layout every
+    # consumer wants), with the per-depth segmented scans replaced by
+    # closed forms (the old loop ran 24 tuple-associative scans; the
+    # whole-build ablation measured it at ~27 ms/batch — this block is
+    # ~2 ms):
+    #   - run-start hold (nid) = ONE cummax of (pos << 14 | zval):
+    #     pos ascends, so the max IS the latest boundary's packed
+    #     value (zval < 2^14 when the target fits ND; past-cap targets
+    #     flag over_nd and fall back, so their garbage is never read);
+    #   - the survivor min is only ever CONSUMED at run starts (i_r
+    #     rows are node creators == run starts; a depth-d run's first
+    #     chain has lcp < d, and any later member with len >= d would
+    #     need lcp >= d — so creators are starts), where the full-run
+    #     min equals the suffix min over [i, run_end): computed by
+    #     log2(N) backward doubling passes bounded by run_end.
+    dgrid2 = jnp.arange(1, SM + 1, dtype=I32)[None, :, None]
+    posb = pos[:, None, :]
+    bnd_dm = lcp[:, None, :] < dgrid2  # [B, SM, N] run starts
+    owner_dm = jax.lax.cummax(jnp.where(bnd_dm, posb, 0), axis=2)
+    nxt = jnp.where(bnd_dm, posb, N)
+    rev_cummin = jnp.flip(
+        jax.lax.cummin(jnp.flip(nxt, axis=-1), axis=2), axis=-1
+    )
+    # run_end[i] = first boundary strictly after i (N if none).
+    run_end_dm = jnp.concatenate(
+        [rev_cummin[..., 1:], jnp.full((B, SM, 1), N, dtype=I32)],
+        axis=-1,
+    )
+    holdp = jax.lax.cummax(
+        jnp.where(
+            bnd_dm,
+            (posb << 14) | jnp.minimum(zval, 0x3FFF)[:, None, :],
+            -1,
+        ),
+        axis=2,
+    )
+    nid_dm = (holdp & 0x3FFF) + dgrid2 - 1
+    weight_dm = run_end_dm - owner_dm
+    # survivor suffix-min over [i, run_end) by backward doubling.
+    sv = jnp.broadcast_to(packed[:, None, :], (B, SM, N))
+    s_shift = 1
+    while s_shift < N:
+        shifted = jnp.concatenate(
+            [sv[..., s_shift:],
+             jnp.full((B, SM, s_shift), jnp.int32(1 << 30))],
+            axis=-1,
         )
-        # run_end[i] = first boundary > i: shift rev_cummin left by 1.
-        run_end = jnp.concatenate(
-            [rev_cummin[..., 1:], jnp.full((B, 1), N, dtype=I32)], axis=-1
+        sv = jnp.where(
+            posb + s_shift < run_end_dm,
+            jnp.minimum(sv, shifted), sv,
         )
-        owners.append(owner)
-        run_ends.append(run_end)
-        # run-start z and full-run min broadcast by segmented scans
-        # (the old gather-at-owner / gather-at-run_end forms paid the
-        # elementwise-gather rate 3x per depth).
-        nids.append(_seg_hold_fwd(zval, bnd) + d - 1)
-        weights.append(run_end - owner)
-        survivors.append(_seg_run_min(packed, bnd))
+        s_shift *= 2
 
     return {
         "sorted": s,
@@ -1067,11 +1118,13 @@ def build_tries(fc, Lr, caps: Caps):
         "lcp": lcp,
         "node_new": node_new,
         "n_nodes": n_nodes,
-        "owner": jnp.stack(owners, axis=-1),  # [B, N, SM]
-        "run_end": jnp.stack(run_ends, axis=-1),
-        "nid": jnp.stack(nids, axis=-1),
-        "weight": jnp.stack(weights, axis=-1),
-        "survivor": jnp.stack(survivors, axis=-1),  # packed (seq, pos)
+        # depth-major [B, SM, N]; run_end/weight/survivor are only
+        # valid at run-start rows (the only rows consumers read).
+        "owner": owner_dm,
+        "run_end": run_end_dm,
+        "nid": nid_dm,
+        "weight": weight_dm,
+        "survivor": sv,  # packed (seq, pos)
     }
 
 # ---------------------------------------------------------------------------
@@ -1152,11 +1205,11 @@ def linearize_and_band(
     if _upto == 1:
         return {"i_r": i_r, "cd": cd, "comp_valid": comp_valid}
 
-    surv_pos = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
-    re_dm = jnp.moveaxis(tri["run_end"], 2, 1)  # [B, SM, N]
-    w_dm = jnp.moveaxis(tri["weight"], 2, 1)
-    sv_dm = jnp.moveaxis(surv_pos, 2, 1)
-    nid_dm = jnp.moveaxis(tri["nid"], 2, 1)
+    # tries fields arrive depth-major [B, SM, N] already.
+    re_dm = tri["run_end"]
+    w_dm = tri["weight"]
+    sv_dm = (tri["survivor"] & ((1 << 14) - 1)).astype(I32)
+    nid_dm = tri["nid"]
     rb_dm = s["rev_ba"] & 0xFF  # [B, SM, N]: depth-(d-1) base slot d-1
     pack_fld = N <= (1 << 14) and caps.R < (1 << 10)
     if pack_fld:
@@ -1214,7 +1267,8 @@ def linearize_and_band(
     # fields ride as three packed payloads (narrow sorts are cheap).
     #   P1 = i(15) @14 | rank(14); P2 = prev(14) @17 | w(10) @7 |
     #   base(7); P3 = survivor_pos(14)
-    sorted_ = jax.lax.sort(
+    sorted_ = _sort(
+        "linz_postorder",
         (
             ct, cre, SM - cd,
             (i_r << 14) | rankg,
@@ -1222,7 +1276,7 @@ def linearize_and_band(
             | (jnp.clip(cw, 0, 0x3FF) << 7) | cbase,
             csv,
         ),
-        dimension=-1, num_keys=3,
+        num_keys=3,
     )
     st_t, nre, smcd, p1s, p2s, p3s = sorted_
     nvalid_t = st_t < BIGT
@@ -1278,7 +1332,7 @@ def linearize_and_band(
     # histogram of node t values + inclusive cumsum.
     pq = jnp.arange(L + 2, dtype=I32)
     ct_le = jnp.cumsum(
-        mxu_hist(nt, nvalid_t, L + 2), axis=-1, dtype=I32
+        _hist("linz_hist", nt, nvalid_t, L + 2), axis=-1, dtype=I32
     )
     lin_bb_full = pq[None, :] - 1 + ct_le  # valid for p in 1..Lr
     n_total = Lr + n_nodes
@@ -1291,7 +1345,7 @@ def linearize_and_band(
         nd_,
         rank,
     )
-    _p1, _p2, _p3, pr_src = jax.lax.sort(pr_keys, dimension=-1, num_keys=3)
+    _p1, _p2, _p3, pr_src = _sort("linz_preorder", pr_keys, num_keys=3)
     # pre_rank[row pr_src[j]] = j: pr_src is a permutation of 0..ND-1,
     # so the inverse is a unique-rank MXU scatter of j to rank pr_src.
     pre_rank = mxu_scatter(
@@ -1324,9 +1378,9 @@ def linearize_and_band(
     cvalid = s["valid"] & (clen >= 1)
     # deepest node id per chain: select over the SM depth slices (dense
     # selects beat one elementwise gather by ~10x here).
-    deep_nid = tri["nid"][..., 0]
+    deep_nid = tri["nid"][:, 0, :]
     for d in range(2, SM + 1):
-        deep_nid = jnp.where(clen == d, tri["nid"][..., d - 1], deep_nid)
+        deep_nid = jnp.where(clen == d, tri["nid"][:, d - 1, :], deep_nid)
     deep_lin = lin_of_nid(jnp.clip(deep_nid, 0, ND - 1))
     if _upto == 4:
         return {"par_lin": par_lin, "deep_lin": deep_lin}
@@ -1348,8 +1402,8 @@ def linearize_and_band(
         | (s["read"] << 14)
         | jnp.arange(N, dtype=I32)[None, :]
     )
-    sp_, sn_, spay_ = jax.lax.sort(
-        (se_key_p, se_key_n, se_pay), dimension=-1, num_keys=3
+    sp_, sn_, spay_ = _sort(
+        "linz_se_sort", (se_key_p, se_key_n, se_pay), num_keys=3
     )
     se_invalid = sp_ >= PBIG
     sp_ = sp_.astype(I32)
@@ -1808,9 +1862,10 @@ def assemble_band(
     upos = jnp.broadcast_to(jnp.arange(N, dtype=udt), (B, N))
     # fields ride the sort as payload operands (narrow sorts are cheap;
     # each post-sort elementwise gather they replace costs ~8 ms).
-    su_key, _su_pos, su_n, su_c, su_k = jax.lax.sort(
+    su_key, _su_pos, su_n, su_c, su_k = _sort(
+        "asm_su_sort",
         (ukey, upos, se["node_lin"], se["count"], se["key"]),
-        dimension=-1, num_keys=2,
+        num_keys=2,
     )
     # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
     # the per-slot v-space loop reads 2 arrays instead of 3.
@@ -1819,9 +1874,9 @@ def assemble_band(
     # (for the SE-overflow flag) come from an MXU histogram of ukey
     # over the 2-per-p grid.
     HLp = L + 2
-    h_se = mxu_hist(
-        se["p"] * 2 + se_islong.astype(I32), se["uniq"], 2 * HLp,
-        chunk=4096,
+    h_se = _hist(
+        "asm_hse", se["p"] * 2 + se_islong.astype(I32), se["uniq"],
+        2 * HLp, chunk=4096,
     )
     p_real = (
         (jnp.arange(HLp, dtype=I32)[None, :] >= 1)

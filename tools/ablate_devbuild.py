@@ -19,7 +19,6 @@ NAMES = [
     "baseline",
     "extract_ba",
     "tries_g2",
-    "tries_scans",
     "linz_planes",
     "linz_ra",
     "asm_base_gb",
@@ -27,6 +26,23 @@ NAMES = [
     "asm_se_scatter",
     "asm_dq_gather",
     "asm_band",
+    "mpos_sort",
+    "extract_sort",
+    "chain_ss",
+    "cov_hist",
+    "match_hist",
+    "trans_hist",
+    "trans_mask",
+    "absorb_hists",
+    "absorb_dl_sort",
+    "absorb_died_sort",
+    "tries_sort",
+    "linz_postorder",
+    "linz_preorder",
+    "linz_se_sort",
+    "linz_hist",
+    "asm_hse",
+    "asm_su_sort",
 ]
 
 
