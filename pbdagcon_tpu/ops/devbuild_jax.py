@@ -314,17 +314,21 @@ def extract_chains(ops, starts, ins_base, dec, mpos, Lr, caps: Caps):
     if _abl("chain_ss"):
         gq_c = jnp.clip(g_q, 0, NI)
         both = jnp.concatenate([gq_c, gq_c], axis=-1)
-    elif NI < (1 << 15) - 2:  # chain ids < NI: i16 co-sort, half traffic
-        rows16 = jnp.minimum(gch_s, (1 << 15) - 1).astype(jnp.int16)
-        gq16 = jnp.minimum(g_q, (1 << 15) - 2).astype(jnp.int16)
-        both = _row_searchsorted(
-            rows16, jnp.concatenate([gq16, gq16 + 1], axis=-1),
-            side="left",
-        )
     else:
-        both = _row_searchsorted(
-            gch_s, jnp.concatenate([g_q, g_q + 1], axis=-1), side="left"
+        # first/last stream positions per integer chain id: a histogram
+        # over the chain-id domain + exclusive cumsum gives lo[g] =
+        # #{gch < g}; right(g) == lo[g + 1], so one mxu_gather over the
+        # [g | g+1] query pair serves both. Replaces the 16k-wide
+        # searchsorted co-sort (whole-build ablation: ~25 ms -> ~2 ms).
+        hg = mxu_hist(gch, valid_k, NI, chunk=4096)
+        lo_t = jnp.cumsum(hg, axis=-1, dtype=I32) - hg
+        lo_t = jnp.concatenate(
+            [lo_t, jnp.sum(hg, axis=-1, keepdims=True)], axis=-1
+        )  # lo[NI] = total valid rows
+        q2 = jnp.concatenate(
+            [jnp.clip(g_q, 0, NI), jnp.clip(g_q + 1, 0, NI)], axis=-1
         )
+        both = mxu_gather(lo_t, q2, max_val=NI + 1)
     chain_first = both[:, : R * CH].reshape(B, R, CH)
     chain_len = jnp.where(
         chain_valid,
@@ -1573,6 +1577,91 @@ def assemble_band(
     def pk(x, hi):  # defensive clamp before packing (pad rows only)
         return jnp.clip(x.astype(I32), 0, hi)
 
+    # ---- p-space payload planes that RIDE the classify sort ----------
+    # The variadic sort's cost is ~flat in operand count on this part
+    # (measured 0.5 ms/op at 44 operands vs 0.7 at 5), so every per-p
+    # field the band classes need transports to v-space as extra sort
+    # payloads — replacing the per-plane broadcast gathers (dq: ~8 ms)
+    # and the direct-to-v MXU scatter (SE: ~20 ms) of earlier rounds.
+
+    # dq transition planes: packed (cnt | sel | rd) and shifted-lin
+    # tables, pure slices in p-space.
+    c1_all = trans["count_pq"]  # [B, L+2, DQ]
+    c2_all = absb["died_cnt_pq"]
+    sel_all = c1_all > 0
+    rd_all = jnp.where(
+        sel_all,
+        jnp.clip(trans["rkey_pq"], 0, (1 << 14) - 1),
+        jnp.clip(absb["died_read"], 0, (1 << 14) - 1),
+    )
+    packed_all = (
+        (jnp.clip(c1_all + c2_all, 0, (1 << 14) - 1) << 15)
+        | (sel_all.astype(I32) << 14)
+        | rd_all
+    )
+    pa_t = jnp.moveaxis(packed_all, 2, 1)  # [B, DQ, L+2]
+
+    def lin_shift(dq):  # lin_bb_full at min(p + dq, L + 1)
+        return jnp.concatenate(
+            [lin_bb_full[:, dq:],
+             jnp.repeat(lin_bb_full[:, L + 1 :], dq, axis=1)],
+            axis=-1,
+        )
+
+    qlin_all = jnp.stack(
+        [lin_shift(dq) for dq in range(2, DQ + 1)], axis=1
+    )  # [B, DQ-1, L+2]
+
+    # SE start-edge slot tables in p-space: sort unique (p, node) rows
+    # by (p, short-first), then one unique-rank MXU scatter places slot
+    # si of p's run at rank si*(L+2) + p (si = position within the
+    # ukey run, pure scans).
+    se = linz["start_edges"]
+    N = se["p"].shape[1]
+    HLp = L + 2
+    se_ulin = mxu_gather(
+        lin_bb_full + 1, jnp.clip(se["p"], 0, L + 1), max_val=1 << 16
+    ) - 1
+    se_ulin = jnp.where(se["p"] == 0, -1, se_ulin)  # enter rows
+    se_span = se["node_lin"] - se_ulin
+    se_islong = se["uniq"] & (se["p"] >= 1) & (se_span > W)
+    su16 = 2 * (L + 2) + 2 < 0xFFFF and N < 0xFFFF
+    udt = jnp.uint16 if su16 else I32
+    ukey = jnp.where(
+        se["uniq"],
+        (se["p"] * 2 + se_islong.astype(I32)).astype(udt),
+        jnp.array(0xFFFF if su16 else (1 << 21), udt),
+    )
+    upos = jnp.broadcast_to(jnp.arange(N, dtype=udt), (B, N))
+    su_key, _su_pos, su_n, su_c, su_k = _sort(
+        "asm_su_sort",
+        (ukey, upos, se["node_lin"], se["count"], se["key"]),
+        num_keys=2,
+    )
+    # node_lin (< 2^17) and count (< 2^14) pack into one i32 plane.
+    su_nc = (su_n << 14) | su_c
+    posn2 = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
+    suk_i = su_key.astype(I32)
+    run_st = jnp.concatenate(
+        [jnp.ones((B, 1), bool), suk_i[:, 1:] != suk_i[:, :-1]], axis=-1
+    )
+    si_of = posn2 - _seg_start_from_boundary(run_st)
+    BIGU = 0xFFFF if su16 else (1 << 21)
+    # short real rows: key = 2p, p >= 1 (key 0 = enter rows; odd = long)
+    sl_ok = (suk_i < BIGU) & (suk_i % 2 == 0) & (suk_i >= 2) & (
+        si_of < SE
+    )
+    if _abl("asm_se_scatter"):
+        t_nc = jnp.zeros((B, SE * HLp), I32) + su_nc[:, :1]
+        t_k = jnp.zeros((B, SE * HLp), I32) + su_k[:, :1]
+    else:
+        t_nc, t_k = mxu_scatter(
+            si_of * HLp + jnp.clip(suk_i // 2, 0, HLp - 1), sl_ok,
+            (su_nc, su_k), SE * HLp, chunk=N, max_payload=1 << 31,
+        )
+    t_nc = t_nc.reshape(B, SE, HLp)
+    t_k = t_k.reshape(B, SE, HLp)
+
     # Operand layouts (tag bit disambiguates row kind):
     #   M1 = tag(1)<<24 | p(15)<<9 | isx(1)<<8 | base(8)
     #   M2 = weight(<=2^11)<<15 | cov(<=2^10)
@@ -1601,17 +1690,12 @@ def assemble_band(
             return jnp.concatenate([x, pad], axis=-1)
         return x
 
-    if _abl("asm_sort"):
-        _sk, s1, s2, s3, s4 = (
-            cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
-            cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b),
-        )
-    else:
-        _sk, s1, s2, s3, s4 = jax.lax.sort(
-            (cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
-             cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b)),
-            dimension=-1, num_keys=1,
-        )
+    _sk, s1, s2, s3, s4 = _sort(
+        "asm_sort",
+        (cat(key_t, key_b, padval=1 << 28), cat(m1_t, m1_b),
+         cat(m2_t, m2_b), cat(m3_t, m3_b), cat(m4_t, m4_b)),
+        num_keys=1,
+    )
     s1, s2, s3, s4 = s1[:, :V], s2[:, :V], s3[:, :V], s4[:, :V]
 
     in_range = vb < n_total[:, None]
@@ -1619,6 +1703,28 @@ def assemble_band(
     is_trie = in_range & (tag == 1)
     is_bb = in_range & (tag == 0)
     pic = jnp.where(is_bb, (s1 >> 9) & 0x7FFF, 0)
+
+    # p-space -> v-space transport of ALL band-class planes (dq
+    # transitions + SE start-edge slots) in ONE shared-index multi-
+    # plane MXU gather at pic: the one-hots are built once and every
+    # byte-plane rides one lane-concatenated matmul (mxu_gather_planes)
+    # — replacing the per-plane broadcast gathers (~8 ms) and the
+    # direct-to-v rank scatter (~16-20 ms); riding them as extra sort
+    # operands is off the table (the remote AOT compiler's sort
+    # lowering is ~quadratic in operand count: 13 operands = 55 s).
+    from pbdagcon_tpu.ops.mxu import mxu_gather_planes
+
+    plane_in = (
+        [(qlin_all[:, i, :], 3) for i in range(DQ - 1)]
+        + [(pa_t[:, i, :], 4) for i in range(1, DQ)]
+        + [(t_nc[:, si, :], 4) for si in range(SE)]
+        + [(t_k[:, si, :], 4) for si in range(SE)]
+    )
+    pv = mxu_gather_planes(plane_in, pic)
+    qlin_v_l = pv[: DQ - 1]
+    pk_v_l = pv[DQ - 1 : 2 * (DQ - 1)]
+    se_nc_l = pv[2 * (DQ - 1) : 2 * (DQ - 1) + SE]
+    se_k_l = pv[2 * (DQ - 1) + SE :]
     if _upto == 1:
         return {"is_trie": is_trie, "is_bb": is_bb, "in_range": in_range}
 
@@ -1736,54 +1842,12 @@ def assemble_band(
             cnt.astype(jnp.float32) - 0.5 * cq.astype(jnp.float32),
         )
 
-    # The per-dq (count, key) fields all gather at the SAME index pic,
-    # so pack them into one i32 per (p, dq) in p-space — one v-space
-    # gather per dq instead of four. Within this loop keys only take
-    # two shapes (phase-1|rd or phase-2|rd|UNCERTAIN), so 29 bits
-    # suffice: cnt(14) | sel(1) | rd(14).
-    c1_all = trans["count_pq"]  # [B, L+2, DQ]
-    c2_all = absb["died_cnt_pq"]
-    sel_all = c1_all > 0
-    rd_all = jnp.where(
-        sel_all,
-        jnp.clip(trans["rkey_pq"], 0, (1 << 14) - 1),
-        jnp.clip(absb["died_read"], 0, (1 << 14) - 1),
-    )
-    packed_all = (
-        (jnp.clip(c1_all + c2_all, 0, (1 << 14) - 1) << 15)
-        | (sel_all.astype(I32) << 14)
-        | rd_all
-    )
-    # p-space shifted-lin tables (pure slices) + ONE broadcast gather
-    # into v-space for all dq lanes at once: index-broadcast gathers
-    # vectorize on TPU (~50x the elementwise-gather rate), so the loop
-    # body below is dense slicing only.
-    def lin_shift(dq):  # lin_bb_full at min(p + dq, L + 1)
-        return jnp.concatenate(
-            [lin_bb_full[:, dq:],
-             jnp.repeat(lin_bb_full[:, L + 1 :], dq, axis=1)],
-            axis=-1,
-        )
-
-    qlin_all = jnp.stack(
-        [lin_shift(dq) for dq in range(2, DQ + 1)], axis=1
-    )  # [B, DQ-1, L+2]
-    pa_t = jnp.moveaxis(packed_all, 2, 1)  # [B, DQ, L+2]
-    # NOTE: the index must keep its size-1 middle dim — an explicit
-    # broadcast_to hides the shared-index structure from XLA and forces
-    # the ~50x slower elementwise gather path (measured).
-    picb = pic[:, None, :]
-    if _abl("asm_dq_gather"):
-        qlin_v = jnp.broadcast_to(
-            qlin_all[:, :, :1], (B, DQ - 1, V)
-        ).astype(I32) + vb[:, None, :] + 1
-        pk_v = jnp.broadcast_to(pa_t[:, :, :1], (B, DQ, V)).astype(I32)
-    else:
-        qlin_v = jnp.take_along_axis(qlin_all, picb, axis=2)
-        pk_v = jnp.take_along_axis(pa_t, picb, axis=2)
+    # The per-dq (count, key) fields rode the classify sort as packed
+    # p-space planes (see extras_b above); the loop body is dense
+    # slicing only.
     for dq in range(2, DQ + 1):
-        qlin = qlin_v[:, dq - 2, :]
-        pk = pk_v[:, dq - 1, :]
+        qlin = qlin_v_l[dq - 2]
+        pk = pk_v_l[dq - 2]
         c12 = pk >> 15
         rd = pk & ((1 << 14) - 1)
         key = jnp.where(
@@ -1840,94 +1904,30 @@ def assemble_band(
     lk_long.append(dl_ok)
     lk_esc.append(bb_esc(dl["cnt"], dl["q"]))
 
-    # start edges: unique (p, node) edges compacted and sorted by
-    # (p, short-first): short spans feed the band, long spans the
-    # K-register file (partial reads' trailing chains end in the exit
-    # trie, far from their start anchor).
-    se = linz["start_edges"]
-    N = se["p"].shape[1]
-    se_ulin = mxu_gather(
-        lin_bb_full + 1, jnp.clip(se["p"], 0, L + 1), max_val=1 << 16
-    ) - 1
-    se_ulin = jnp.where(se["p"] == 0, -1, se_ulin)  # enter rows
-    se_span = se["node_lin"] - se_ulin
-    se_islong = se["uniq"] & (se["p"] >= 1) & (se_span > W)
-    su16 = 2 * (L + 2) + 2 < 0xFFFF and N < 0xFFFF
-    udt = jnp.uint16 if su16 else I32
-    ukey = jnp.where(
-        se["uniq"],
-        (se["p"] * 2 + se_islong.astype(I32)).astype(udt),
-        jnp.array(0xFFFF if su16 else (1 << 21), udt),
-    )
-    upos = jnp.broadcast_to(jnp.arange(N, dtype=udt), (B, N))
-    # fields ride the sort as payload operands (narrow sorts are cheap;
-    # each post-sort elementwise gather they replace costs ~8 ms).
-    su_key, _su_pos, su_n, su_c, su_k = _sort(
-        "asm_su_sort",
-        (ukey, upos, se["node_lin"], se["count"], se["key"]),
-        num_keys=2,
-    )
-    # node_lin (<= V < 2^18) and count (< 2^14) pack into one u32 so
-    # the per-slot v-space loop reads 2 arrays instead of 3.
-    su_nc = (su_n.astype(jnp.uint32) << 14) | su_c.astype(jnp.uint32)
-    # Per backbone p: short run = rows with key exactly 2p. Run counts
-    # (for the SE-overflow flag) come from an MXU histogram of ukey
-    # over the 2-per-p grid.
-    HLp = L + 2
-    h_se = _hist(
-        "asm_hse", se["p"] * 2 + se_islong.astype(I32), se["uniq"],
-        2 * HLp, chunk=4096,
-    )
+    # start edges: the per-slot (node|cnt, key) planes rode the
+    # classify sort (built p-space before it — see extras_b above).
+    # SE-overflow flag from the run-count histogram.
     p_real = (
         (jnp.arange(HLp, dtype=I32)[None, :] >= 1)
         & (jnp.arange(HLp, dtype=I32)[None, :] <= Lr[:, None])
     )
+    h_se = _hist(
+        "asm_hse", se["p"] * 2 + se_islong.astype(I32), se["uniq"],
+        2 * HLp, chunk=4096,
+    )
     flags = flags | jnp.any(p_real & (h_se[:, 0::2] > SE), axis=-1)
-
-    # Slot tables straight to v-space by ONE unique-rank MXU scatter:
-    # a sorted short row's slot index si is its position within its
-    # ukey run (pure scans), its destination row is v = lin(p) (one
-    # small mxu_gather) — so (su_nc, su_k) scatter to rank si*V + v in
-    # a single [B, SE*V] transport. This replaces the old p-space
-    # detour (SE shifted copies + two 3-D broadcast take_along_axis
-    # hops), whose gathers ran at the elementwise rate at these shapes
-    # (measured +44 ms of the build; the scatter is ~3 ms).
-    posn2 = jnp.broadcast_to(jnp.arange(N, dtype=I32), (B, N))
-    suk_i = su_key.astype(I32)
-    run_st = jnp.concatenate(
-        [jnp.ones((B, 1), bool), suk_i[:, 1:] != suk_i[:, :-1]], axis=-1
-    )
-    si_of = posn2 - _seg_start_from_boundary(run_st)
-    BIGU = 0xFFFF if su16 else (1 << 21)
-    # short real rows: key = 2p, p >= 1 (key 0 = enter rows; odd = long)
-    sl_ok = (suk_i < BIGU) & (suk_i % 2 == 0) & (suk_i >= 2) & (
-        si_of < SE
-    )
-    v_of = mxu_gather(
-        lin_bb_full + 1, jnp.clip(suk_i // 2, 0, L + 1), max_val=1 << 16
-    ) - 1
-    sl_ok = sl_ok & (v_of >= 0) & (v_of < V)
-    if _abl("asm_se_scatter"):
-        scat_nc = jnp.zeros((B, SE * V), I32) + su_nc[:, :1].astype(I32)
-        scat_k = jnp.zeros((B, SE * V), I32) + su_k[:, :1]
-    else:
-        scat_nc, scat_k = mxu_scatter(
-            si_of * V + jnp.clip(v_of, 0, V - 1), sl_ok,
-            (su_nc, su_k), SE * V, chunk=N, max_payload=1 << 31,
-        )
-    nc_v = scat_nc.reshape(B, SE, V)
-    k_v = scat_k.reshape(B, SE, V)
     if _upto == 41:
-        return {"nc_v": nc_v, "k_v": k_v, "win": win, "wkey": wkey}
+        return {"nc_v": se_nc_l, "k_v": se_k_l, "win": win,
+                "wkey": wkey}
     for si in range(SE):
-        nc = nc_v[:, si, :]
+        nc = se_nc_l[si]
         # an empty slot reads 0; real rows have count >= 1, so nc != 0
         # is exactly slot-occupied.
         tgt = (nc >> 14).astype(I32)
         cnt = (nc & ((1 << 14) - 1)).astype(I32)
         win, wkey, flags = add_class(
             win, wkey, flags, is_bb & (nc != 0), tgt - vb, cnt,
-            k_v[:, si, :],
+            se_k_l[si],
         )
     if _upto == 5:
         return {"win": win, "wkey": wkey, "flags": flags}

@@ -242,6 +242,56 @@ def mxu_gather(tbl, idx, *, max_val: int, valid=None):
     return out
 
 
+def mxu_gather_planes(tables, idx):
+    """Gather MANY tables at ONE shared index: out[k][b, n] =
+    tables[k][0][b, idx[b, n]] — the one-hot operands are built once
+    and all tables' byte-planes ride a single lane-concatenated matmul.
+
+    tables: list of ([B, T] integer array, nbytes) pairs — nbytes
+    byte-planes cover that table's value range. idx: [B, N] (clipped
+    to the zero-padded table bound, so out-of-range reads 0 when
+    idx >= T is only possible in the padded tail).
+
+    Exact: each dot output cell has exactly ONE nonzero term (the
+    idx%128 lane), every byte value <= 255 is bf16-exact, and the
+    dh-select sums one nonzero f32. Cost ~ one [B, N, 128] x
+    [B, S*dh, 128] matmul with S = total byte-planes — built for the
+    devbuild's p-space -> v-space plane transport (dq/SE bands), where
+    per-plane gathers or a rank scatter pay per plane."""
+    B, T = tables[0][0].shape
+    TP = -(-T // _LANES) * _LANES
+    pad = TP - T
+    ic = jnp.clip(idx.astype(I32), 0, TP - 1)
+    # FULL-width one-hot (no dh factorization): the factorized form's
+    # [B, N, S*dh] partials cost dh x the useful data in traffic plus a
+    # select pass; at the plane-transport shapes (T ~ 1k, S ~ 150) the
+    # single wide one-hot is cheaper end-to-end.
+    b_full = (
+        ic[..., None] == jnp.arange(TP, dtype=I32)
+    ).astype(BF16)  # [B, N, TP]
+    subs = []  # (table_idx, byte) per subplane, in lane-concat order
+    planes = []
+    for k, (tbl, nbytes) in enumerate(tables):
+        tp = tbl.astype(I32)
+        if pad:
+            tp = jnp.concatenate(
+                [tp, jnp.zeros((B, pad), I32)], axis=-1
+            )
+        for by in range(nbytes):
+            subs.append((k, by))
+            planes.append(((tp >> (8 * by)) & 0xFF).astype(BF16))
+    stacked = jnp.stack(planes, axis=1)  # [B, S, TP]
+    sel = jax.lax.dot_general(
+        b_full, stacked,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=BF16,  # exact: single nonzero, <= 255
+    ).astype(I32)  # [B, N, S]
+    out = [jnp.zeros(idx.shape, I32) for _ in tables]
+    for j, (k, by) in enumerate(subs):
+        out[k] = out[k] | (sel[:, :, j] << (8 * by))
+    return out
+
+
 def hist_lohi(values, valid, D, *, chunk: int = 4096):
     """(lo, hi) over the FULL grid 0..D-1: lo[d] = #{v < d},
     hi[d] = #{v <= d}. Replaces `sort + searchsorted(arange(D))`
