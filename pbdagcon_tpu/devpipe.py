@@ -595,6 +595,22 @@ def run_devbuild_native(
             and caps.V % 64 == 0
             and blocked_safe(1.5 * caps.R + 10.0, caps.V)
         )
+        # Pallas DP kernel (round-5 door re-audit, tools/
+        # rebench_doors.py): the round-3 "10x slower than the scan"
+        # verdict was dispatch-floor noise from the broken timer —
+        # chained honest timing measures the kernel at 0.92 ms vs the
+        # scan's 23.4 ms at [128, 5632, 64] (the scan is latency-bound
+        # at V sequential steps). Bit-exact (same f32 candidates and
+        # exact max; tests/test_dp_pallas.py). Gate: the axon remote
+        # compiler rejects grids >= ~128 steps, so V must fit 112
+        # tiles of 128 (tile_v=256 crashes its compile).
+        import jax as _jxx
+
+        use_pallas = (
+            not use_blocked
+            and _jxx.default_backend() == "tpu"
+            and -(-caps.V // 128) <= 112
+        )
 
         # DP + backtrack fuse into ONE program (build stays separate —
         # see the note above): the emit consumes the build outputs
@@ -616,6 +632,14 @@ def run_devbuild_native(
                     build["long_esc"],
                 )
                 flags = flags | unconv
+            elif use_pallas:
+                from pbdagcon_tpu.ops.dp_pallas import dp_scores_pallas
+
+                scores = dp_scores_pallas(
+                    build["win"], build["exit_cnt"], build["cov"],
+                    build["unsup"], build["long_u"], build["long_w"],
+                    build["long_esc"], tile_v=128,
+                )
             else:
                 scores = dp_scores(
                     build["win"], build["exit_cnt"], build["cov"],
