@@ -30,13 +30,15 @@ import os
 import sys
 import time
 
-# Modeled per-chip ceiling for the devbuild step on THIS part (v5e,
-# one chip): docs/ROOFLINE.md floor model (~55 ms build + 3.6 ms DP +
-# 2 ms emit per 128-target batch of ~118,642 consensus bases, at the
-# measured best-known primitive rates). If ROOFLINE.md is re-derived
-# (new part, new primitive floors), update THIS constant in the same
+# Per-chip ceiling for the devbuild step on THIS part (v5e, one
+# chip), derived from the MEASURED primitive-composition floor
+# (tools/floor_probe.py: 35.2 ms/batch chained at bench caps) + the
+# measured Pallas DP (0.92 ms) + emit at mxu-gather rates (~8 ms):
+# ~44 ms/step over ~118,642 consensus bases/batch ≈ 2.7M bases/s.
+# Derivation + assumptions in docs/ROOFLINE.md §Round-5 update. If the
+# probe is re-run on a new part, update THIS constant in the same
 # change — `roofline_pct` below reports against it.
-ROOFLINE_BASES_PER_S = 1.98e6
+ROOFLINE_BASES_PER_S = 2.7e6
 
 
 def log(*a) -> None:

@@ -171,7 +171,14 @@ def caps_for(
     # build measures is typically ~25% smaller; when the pipeline has
     # an observed `v_need` it shrinks V (multiple of 256 — the blocked
     # DP requires V % 64 == 0). Undersized V only flags (over_v).
-    V = L + ND
+    # V is ALWAYS 256-aligned (round 5): the un-aligned worst case
+    # V = L + ND = 17407 at the top ND rung is the exact shape of the
+    # one reproducible TPU-worker crash (docs/HIGHDEPTH.md #5); the
+    # aligned 17408 compiles and runs (fence verified on-chip,
+    # tests/test_devpipe.py::test_caps_v_alignment_fence). Alignment
+    # also satisfies the blocked DP's V % 64 == 0 requirement
+    # everywhere instead of only on the v_need path.
+    V = -(-(L + ND) // 256) * 256
     if v_need is not None:
         V = min(V, max(512, -(-v_need // 256) * 256))
     return Caps(

@@ -366,3 +366,29 @@ def test_caps_convergence_random_class_mix():
             # (b) no flip-flop: the tail of the stream settles on ONE
             # caps tuple per bucket.
             assert len(set(tail)) == 1, (bkey, set(tail))
+
+
+def test_caps_v_alignment_fence():
+    """Round-5 crash fence: the one reproducible TPU-worker crash hit
+    the exact shape ND=16383 / V=17407 (the un-aligned L + ND at the
+    top ND rung — docs/HIGHDEPTH.md #5). caps_for must never emit an
+    unaligned V again: every V is a multiple of 256, so the crash
+    shape is unreachable and the blocked DP's V % 64 == 0 holds
+    everywhere."""
+    from pbdagcon_tpu.devpipe import DevCapsConfig, caps_for
+
+    for L in (256, 1024, 2048, 16384):
+        for nd_need in (100, 4608, 12288, 16383, 1 << 20):
+            for prof in (DevCapsConfig.compact(), DevCapsConfig.heavy()):
+                caps = caps_for(
+                    128, 32, max(64, L + L // 4), L, prof,
+                    nd_need=nd_need,
+                )
+                assert caps.V % 256 == 0, caps
+                assert caps.V >= caps.L, caps
+                assert not (caps.ND == 16383 and caps.V == 17407), caps
+    # the historical crash shape itself:
+    caps = caps_for(
+        64, 256, 1280, 1024, DevCapsConfig.heavy(), nd_need=16383
+    )
+    assert caps.ND == 16383 and caps.V == 17408, caps

@@ -102,7 +102,9 @@ def main() -> int:
                 jnp.arange(W, dtype=jnp.int32)[None, :, None]
                 == (span[:, None, :] - 1)
             )
-            win = jnp.where(m, (pv[j] & 0x7F).astype(jnp.int16), win)
+            win = jnp.where(
+                m, (pv[j] & 0x7F).astype(jnp.int16)[:, None, :], win
+            )
         winT = jnp.swapaxes(win, 1, 2)
         # stacked scans (tries closed forms)
         g = ci[:, :N6]
